@@ -1,0 +1,16 @@
+from .convnext import ConvNeXt, convnext_tiny, convnext_small, convnext_base
+from .resnet import ResNet, resnet34, resnet50
+
+BACKBONES = {
+    "convnext_tiny": convnext_tiny,
+    "convnext_small": convnext_small,
+    "convnext_base": convnext_base,
+    "resnet34": resnet34,
+    "resnet50": resnet50,
+}
+
+
+def build_backbone(name: str, **kwargs):
+    if name not in BACKBONES:
+        raise ValueError(f"Unknown backbone '{name}'. Available: {sorted(BACKBONES)}")
+    return BACKBONES[name](**kwargs)
