@@ -71,7 +71,8 @@ class ConvNeXt(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        dp_rates = jnp.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        import numpy as np
+        dp_rates = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
         feats = []
         cur = 0
         for stage in range(4):

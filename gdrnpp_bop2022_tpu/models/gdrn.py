@@ -1,0 +1,257 @@
+"""GDRN model assembly: backbone -> geo head -> class-aware gather ->
+Patch-PnP -> pose decode. One pure flax module, fully batched and jit-able.
+
+Reference semantics: core/gdrn_modeling/models/GDRN_double_mask.py:66-285
+(forward), model_utils.py:12-37 (out dims), :362-379 (mask prob). The
+reference's per-branch torch.view + fancy-index gathers become a single
+``take_along_axis`` over an NHWC channel axis; the softmax-over-bins and
+region-softmax composition is identical.
+
+Layout: NHWC everywhere (TPU-native); outputs are fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..config import Config, PoseNetConfig
+from ..geometry.rotations import rot6d_to_mat, quat_to_mat
+from ..geometry.se3 import (
+    pose_from_centroid_z_rel,
+    pose_from_centroid_z_abs,
+    pose_from_trans,
+)
+from .backbones.convnext import convnext_tiny, convnext_small, convnext_base
+from .backbones.resnet import resnet34, resnet50
+from .heads.top_down_head import TopDownDoubleMaskXyzRegionHead
+from .heads.conv_pnp_net import ConvPnPNet
+
+
+def _build_backbone(cfg: PoseNetConfig, dtype):
+    name = cfg.backbone.name
+    builders = {
+        "convnext_tiny": convnext_tiny,
+        "convnext_small": convnext_small,
+        "convnext_base": convnext_base,
+        "resnet34": resnet34,
+        "resnet50": resnet50,
+    }
+    if name not in builders:
+        raise ValueError(f"Unknown backbone: {name}")
+    return builders[name](out_indices=(cfg.backbone.out_index,), dtype=dtype)
+
+
+def xyz_mask_region_out_dims(cfg: PoseNetConfig) -> tuple[int, int, int]:
+    """Per-class channel counts (reference: model_utils.py:12-37)."""
+    lc = cfg.loss
+    if lc.xyz_loss_type in ("L1", "MSE", "L2", "SmoothL1"):
+        xyz_out_dim = 3
+    elif lc.xyz_loss_type in ("CE_coor", "CE"):
+        xyz_out_dim = 3 * (cfg.geo_head.xyz_num_bins + 1)
+    else:
+        raise NotImplementedError(lc.xyz_loss_type)
+    if lc.mask_loss_type in ("L1", "BCE", "RW_BCE", "dice"):
+        mask_out_dim = 2
+    elif lc.mask_loss_type == "CE":
+        mask_out_dim = 4
+    else:
+        raise NotImplementedError(lc.mask_loss_type)
+    region_out_dim = cfg.geo_head.num_regions + 1
+    return xyz_out_dim, mask_out_dim, region_out_dim
+
+
+def _gather_class(x: jax.Array, labels: jax.Array, num_classes: int) -> jax.Array:
+    """Select the per-class channel group for each sample.
+
+    x: (B, H, W, num_classes * D) laid out class-major (class c occupies
+    channels [c*D, (c+1)*D)); labels: (B,) int. Returns (B, H, W, D).
+    """
+    B, H, W, CD = x.shape
+    D = CD // num_classes
+    x = x.reshape(B, H, W, num_classes, D)
+    idx = labels.reshape(B, 1, 1, 1, 1).astype(jnp.int32)
+    return jnp.take_along_axis(x, jnp.broadcast_to(idx, (B, H, W, 1, D)), axis=3)[..., 0, :]
+
+
+def get_mask_prob(pred_mask: jax.Array, mask_loss_type: str) -> jax.Array:
+    """Turn the raw visible-mask output into a probability map
+    (reference: model_utils.py:362-379). pred_mask: (B, H, W, 1)."""
+    if mask_loss_type == "L1":
+        mx = jnp.max(pred_mask, axis=(1, 2, 3), keepdims=True)
+        mn = jnp.min(pred_mask, axis=(1, 2, 3), keepdims=True)
+        return (pred_mask - mn) / jnp.maximum(mx - mn, 1e-12)
+    if mask_loss_type in ("BCE", "RW_BCE", "dice"):
+        return jax.nn.sigmoid(pred_mask)
+    if mask_loss_type == "CE":
+        return jax.nn.softmax(pred_mask, axis=-1)[..., 1:2]
+    raise NotImplementedError(mask_loss_type)
+
+
+class GDRN(nn.Module):
+    """Geometry-guided Direct Regression Network (double-mask variant).
+
+    __call__ returns a dict:
+      rot (B,3,3) egocentric, trans (B,3), rot_allo (B,3,3),
+      centroid_rel (B,2), z_rel (B,),
+      vis_mask/full_mask (B,H,W) raw (single-channel squeezed),
+      coor_x/y/z (B,H,W,D), region (B,H,W,R+1) raw logits.
+    """
+
+    cfg: PoseNetConfig
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        pc = self.cfg
+        xyz_dim, mask_dim, region_dim = xyz_mask_region_out_dims(pc)
+        self._dims = (xyz_dim, mask_dim, region_dim)
+        nc = pc.num_classes
+        self.backbone = _build_backbone(pc, self.dtype)
+        gh = pc.geo_head
+        self.geo_head = TopDownDoubleMaskXyzRegionHead(
+            up_types=gh.up_types,
+            deconv_kernel_size=gh.deconv_kernel_size,
+            num_conv_per_block=gh.num_conv_per_block,
+            feat_dim=gh.feat_dim,
+            norm=gh.norm,
+            num_gn_groups=gh.num_gn_groups,
+            act=gh.act,
+            out_kernel_size=gh.out_kernel_size,
+            mask_num_classes=nc if gh.mask_class_aware else 1,
+            xyz_num_classes=nc if gh.xyz_class_aware else 1,
+            region_num_classes=nc if gh.region_class_aware else 1,
+            mask_out_dim=mask_dim,
+            xyz_out_dim=xyz_dim,
+            region_out_dim=region_dim,
+            dtype=self.dtype,
+        )
+        pn = pc.pnp_net
+        self.pnp_net = ConvPnPNet(
+            featdim=pn.featdim,
+            rot_dim=6 if "rot6d" in pn.rot_type else 4,
+            num_stride2_layers=pn.num_stride2_layers,
+            num_extra_layers=pn.num_extra_layers,
+            norm=pn.norm,
+            num_gn_groups=pn.num_gn_groups,
+            act=pn.act,
+            drop_prob=pn.drop_prob,
+            dropblock_size=pn.dropblock_size,
+            flat_op=pn.flat_op,
+            denormalize_by_extent=pn.denormalize_by_extent,
+            mask_attention=pn.mask_attention,
+            dtype=self.dtype,
+        )
+
+    def __call__(
+        self,
+        roi_img: jax.Array,              # (B, H, W, 3) normalized
+        roi_labels: jax.Array,           # (B,) int class ids
+        roi_coord_2d: jax.Array,         # (B, out_res, out_res, 2)
+        roi_cams: jax.Array,             # (B, 3, 3)
+        roi_centers: jax.Array,          # (B, 2)
+        roi_whs: jax.Array,              # (B, 2)
+        roi_extents: jax.Array,          # (B, 3)
+        resize_ratios: jax.Array,        # (B,)
+        deterministic: bool = True,
+        progress: float = 1.0,
+        train: bool = False,
+    ) -> dict:
+        pc = self.cfg
+        pn = pc.pnp_net
+        nc = pc.num_classes
+        xyz_dim, mask_dim, region_dim = self._dims
+
+        feat = self.backbone(roi_img.astype(self.dtype), deterministic=deterministic)
+        geo = self.geo_head(feat)
+        vis_mask, full_mask = geo["vis_mask"], geo["full_mask"]
+        coor_x, coor_y, coor_z = geo["coor_x"], geo["coor_y"], geo["coor_z"]
+        region = geo["region"]
+
+        gh = pc.geo_head
+        if gh.xyz_class_aware:
+            coor_x = _gather_class(coor_x, roi_labels, nc)
+            coor_y = _gather_class(coor_y, roi_labels, nc)
+            coor_z = _gather_class(coor_z, roi_labels, nc)
+        if gh.mask_class_aware:
+            vis_mask = _gather_class(vis_mask, roi_labels, nc)
+            full_mask = _gather_class(full_mask, roi_labels, nc)
+        if gh.region_class_aware:
+            region = _gather_class(region, roi_labels, nc)
+
+        # coordinate feature for the PnP head -----------------------------
+        if coor_x.shape[-1] > 1:
+            # binned: softmax over bins, excluding the trailing bg bin
+            cx = jax.nn.softmax(coor_x[..., :-1], axis=-1)
+            cy = jax.nn.softmax(coor_y[..., :-1], axis=-1)
+            cz = jax.nn.softmax(coor_z[..., :-1], axis=-1)
+            coor_feat = jnp.concatenate([cx, cy, cz], axis=-1)
+        else:
+            coor_feat = jnp.concatenate([coor_x, coor_y, coor_z], axis=-1)
+
+        if pn.with_2d_coord:
+            coor_feat = jnp.concatenate(
+                [coor_feat, roi_coord_2d.astype(coor_feat.dtype)], axis=-1)
+
+        # region softmax excludes the LEADING bg channel
+        region_softmax = jax.nn.softmax(region[..., 1:], axis=-1)
+        region_atten = region_softmax if pn.region_attention else None
+
+        mask_atten = None
+        if pn.mask_attention != "none":
+            mask_atten = get_mask_prob(vis_mask, pc.loss.mask_loss_type)
+
+        pred_rot_, pred_t_ = self.pnp_net(
+            coor_feat, region=region_atten, extents=roi_extents,
+            mask_attention=mask_atten, deterministic=deterministic,
+            progress=progress)
+
+        if "rot6d" in pn.rot_type:
+            rot_allo = rot6d_to_mat(pred_rot_)
+        elif "quat" in pn.rot_type:
+            rot_allo = quat_to_mat(pred_rot_)
+        else:
+            raise ValueError(pn.rot_type)
+        is_allo = "allo" in pn.rot_type
+
+        if pn.trans_type == "centroid_z":
+            rot_ego, trans = pose_from_centroid_z_rel(
+                rot_allo, pred_t_[:, :2], pred_t_[:, 2], roi_cams, roi_centers,
+                resize_ratios, roi_whs, is_allo=is_allo, z_type=pn.z_type)
+        elif pn.trans_type == "centroid_z_abs":
+            rot_ego, trans = pose_from_centroid_z_abs(
+                rot_allo, pred_t_[:, :2], pred_t_[:, 2], roi_cams, is_allo=is_allo)
+        elif pn.trans_type == "trans":
+            rot_ego, trans = pose_from_trans(rot_allo, pred_t_, is_allo=is_allo)
+        else:
+            raise ValueError(pn.trans_type)
+
+        return {
+            "rot": rot_ego,
+            "rot_allo": rot_allo,
+            "trans": trans,
+            "centroid_rel": pred_t_[:, :2],
+            "z_rel": pred_t_[:, 2],
+            "vis_mask": vis_mask[..., 0] if mask_dim // 2 == 1 else vis_mask,
+            "full_mask": (full_mask[..., 0] if mask_dim // 2 == 1 else full_mask)
+            if full_mask is not None else None,
+            "coor_x": coor_x,
+            "coor_y": coor_y,
+            "coor_z": coor_z,
+            "region": region,
+        }
+
+
+def build_gdrn(cfg: Config) -> GDRN:
+    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    return GDRN(cfg=cfg.model.pose_net, dtype=dtype)
+
+
+def normalize_image(img: jax.Array, pixel_mean, pixel_std) -> jax.Array:
+    """(B, H, W, 3) uint8/float -> normalized float, matching the
+    reference's (x - mean) / std convention."""
+    mean = jnp.asarray(pixel_mean, dtype=jnp.float32)
+    std = jnp.asarray(pixel_std, dtype=jnp.float32)
+    return (img.astype(jnp.float32) - mean) / std

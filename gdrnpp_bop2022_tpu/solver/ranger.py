@@ -1,0 +1,153 @@
+"""Ranger optimizer (RAdam + Lookahead + Gradient Centralization) as a
+single optax GradientTransformation.
+
+Reference semantics: lib/torch_utils/solver/ranger.py (the GDRNPP training
+optimizer, configs/gdrn/ycbv/...ycbv.py OPTIMIZER_CFG type="Ranger").
+Implemented as one fused pytree update — RAdam's variance-rectification
+branch becomes a jnp.where so the whole step stays inside jit; Lookahead's
+slow weights live in the optimizer state (synced every k steps via where-
+masked interpolation rather than host-side control flow).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class RangerState(NamedTuple):
+    count: jax.Array            # int32 step counter
+    exp_avg: optax.Updates      # first moment
+    exp_avg_sq: optax.Updates   # second moment
+    slow: optax.Updates         # lookahead slow weights
+
+
+def _centralize(g: jax.Array) -> jax.Array:
+    if g.ndim > 1:
+        axes = tuple(range(1, g.ndim))
+        return g - jnp.mean(g, axis=axes, keepdims=True)
+    return g
+
+
+def ranger(
+    learning_rate: optax.ScalarOrSchedule,
+    alpha: float = 0.5,
+    k: int = 6,
+    n_sma_threshold: float = 5.0,
+    b1: float = 0.95,
+    b2: float = 0.999,
+    eps: float = 1e-5,
+    weight_decay: float = 0.0,
+    use_gc: bool = True,
+    gc_conv_only: bool = False,
+) -> optax.GradientTransformation:
+    """Build the Ranger transformation. Pass params to update()."""
+    gc_dim_threshold = 3 if gc_conv_only else 1
+
+    def init_fn(params):
+        return RangerState(
+            count=jnp.zeros([], jnp.int32),
+            exp_avg=jax.tree.map(jnp.zeros_like, params),
+            exp_avg_sq=jax.tree.map(jnp.zeros_like, params),
+            slow=jax.tree.map(jnp.copy, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("ranger requires params for weight decay + lookahead")
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+
+        if use_gc:
+            updates = jax.tree.map(
+                lambda g: _centralize(g) if g.ndim > gc_dim_threshold else g, updates)
+
+        exp_avg = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.exp_avg, updates)
+        exp_avg_sq = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                                  state.exp_avg_sq, updates)
+
+        beta2_t = jnp.power(b2, t)
+        n_sma_max = 2.0 / (1.0 - b2) - 1.0
+        n_sma = n_sma_max - 2.0 * t * beta2_t / (1.0 - beta2_t)
+        bias1 = 1.0 - jnp.power(b1, t)
+
+        rect = jnp.sqrt(
+            jnp.maximum(
+                (1.0 - beta2_t) * (n_sma - 4.0) / (n_sma_max - 4.0)
+                * (n_sma - 2.0) / jnp.maximum(n_sma, 1e-8)
+                * n_sma_max / (n_sma_max - 2.0),
+                0.0,
+            )
+        ) / bias1
+        plain = 1.0 / bias1
+        use_var = n_sma > n_sma_threshold
+
+        lr = learning_rate(count - 1) if callable(learning_rate) else learning_rate
+
+        def radam_delta(p, m, v):
+            denom_step = m / (jnp.sqrt(v) + eps) * rect
+            flat_step = m * plain
+            step = jnp.where(use_var, denom_step, flat_step)
+            if weight_decay != 0.0:
+                step = step + weight_decay * p
+            return -lr * step
+
+        delta = jax.tree.map(radam_delta, params, exp_avg, exp_avg_sq)
+
+        # lookahead: every k steps pull fast weights toward slow ----------
+        sync = (count % k) == 0
+
+        def look(p, d, s):
+            fast = p + d
+            s_new = jnp.where(sync, s + alpha * (fast - s), s)
+            p_new = jnp.where(sync, s_new, fast)
+            return p_new - p, s_new
+
+        moved = jax.tree.map(look, params, delta, state.slow)
+        new_updates = jax.tree.map(lambda x: x[0],
+                                   moved, is_leaf=lambda x: isinstance(x, tuple))
+        new_slow = jax.tree.map(lambda x: x[1],
+                                moved, is_leaf=lambda x: isinstance(x, tuple))
+
+        return new_updates, RangerState(count, exp_avg, exp_avg_sq, new_slow)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
+    """Optimizer factory (reference: core/utils/solver_utils.py:28-110)."""
+    sc = cfg.solver
+    name = sc.optimizer.lower()
+    if name == "ranger":
+        tx = ranger(lr_schedule, weight_decay=sc.weight_decay)
+    elif name == "adamw":
+        tx = optax.adamw(lr_schedule, weight_decay=sc.weight_decay)
+    elif name == "adam":
+        tx = optax.adam(lr_schedule)
+    elif name == "sgd":
+        tx = optax.sgd(lr_schedule, momentum=sc.momentum)
+    elif name == "lamb":
+        tx = optax.lamb(lr_schedule, weight_decay=sc.weight_decay)
+    elif name == "radam":
+        tx = optax.radam(lr_schedule)
+    else:
+        raise ValueError(f"unknown optimizer {sc.optimizer}")
+
+    chain = []
+    if sc.nan_grad_to_zero:
+        # reference: engine.py:330-333 SET_NAN_GRAD_TO_ZERO
+        chain.append(optax.GradientTransformation(
+            lambda params: optax.EmptyState(),
+            lambda u, s, p=None: (jax.tree.map(
+                lambda g: jnp.where(jnp.isfinite(g), g, 0.0), u), s),
+        ))
+    if sc.clip_grad_norm > 0:
+        chain.append(optax.clip_by_global_norm(sc.clip_grad_norm))
+    chain.append(tx)
+    out = optax.chain(*chain) if len(chain) > 1 else tx
+    if sc.grad_accum_steps > 1:
+        out = optax.MultiSteps(out, every_k_schedule=sc.grad_accum_steps)
+    return out
