@@ -1,0 +1,106 @@
+"""Test-time loader: detections -> padded fixed-size device batches.
+
+Replaces build_gdrn_test_loader + read_data_test (reference:
+data_loader.py:647-818, :901-950): instead of per-detection CPU crops, each
+batch ships a small stack of unique full images + per-ROI params; the
+jitted device pipeline does the crops. Batches are PADDED to a static size
+(XLA static shapes); `valid` masks the padding.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from .bop_data import load_image
+from .meta import DatasetMeta
+
+
+@dataclass
+class RoiMeta:
+    scene_id: int
+    im_id: int
+    obj_id: int
+    score: float
+    det_time: float
+
+
+def iter_test_batches(
+    images_index: Dict[str, dict],     # scene_im_id -> {rgb_path, K, ...}
+    detections: Dict[str, list],       # scene_im_id -> [det dicts]
+    batch_size: int = 64,
+    image_cache_size: int = 64,
+) -> Iterator[dict]:
+    """Yields host batches:
+      images (M, H, W, 3) uint8, img_idx (B,), boxes_xyxy (B, 4),
+      Ks (B, 3, 3), labels (B,), scores (B,), valid (B,) bool,
+      metas: list[RoiMeta] length B (padding rows repeat the last real ROI).
+    """
+    keys = [k for k in images_index if k in detections]
+    keys.sort(key=lambda k: (images_index[k]["scene_id"], images_index[k]["im_id"]))
+
+    pend_rois: List[dict] = []
+    pend_metas: List[RoiMeta] = []
+    pend_imgs: List[np.ndarray] = []
+    pend_img_ids: Dict[str, int] = {}
+
+    def flush():
+        nonlocal pend_rois, pend_metas, pend_imgs, pend_img_ids
+        if not pend_rois:
+            return None
+        B = batch_size
+        n = len(pend_rois)
+        rois = pend_rois + [pend_rois[-1]] * (B - n)
+        metas = pend_metas + [pend_metas[-1]] * (B - n)
+        batch = {
+            "images": np.stack(pend_imgs),
+            "img_idx": np.array([r["img_idx"] for r in rois], np.int32),
+            "boxes_xyxy": np.stack([r["bbox_xyxy"] for r in rois]).astype(np.float32),
+            "Ks": np.stack([r["K"] for r in rois]).astype(np.float32),
+            "labels": np.array([r["label"] for r in rois], np.int32),
+            "scores": np.array([r["score"] for r in rois], np.float32),
+            "valid": np.array([i < n for i in range(B)], bool),
+            "metas": metas,
+        }
+        pend_rois, pend_metas, pend_imgs, pend_img_ids = [], [], [], {}
+        return batch
+
+    for key in keys:
+        entry = images_index[key]
+        dets = detections[key]
+        # if this image's ROIs don't fit, flush first
+        if pend_rois and (len(pend_rois) + len(dets) > batch_size
+                          or len(pend_imgs) >= image_cache_size):
+            out = flush()
+            if out is not None:
+                yield out
+        if key not in pend_img_ids:
+            pend_img_ids[key] = len(pend_imgs)
+            pend_imgs.append(load_image(entry["rgb_path"]))
+        gi = pend_img_ids[key]
+        for det in dets:
+            if len(pend_rois) >= batch_size:
+                # single image with more ROIs than batch: flush mid-image
+                img = pend_imgs[gi]
+                out = flush()
+                if out is not None:
+                    yield out
+                pend_img_ids[key] = 0
+                pend_imgs.append(img)
+                gi = 0
+            pend_rois.append({
+                "img_idx": gi,
+                "bbox_xyxy": det["bbox_xyxy"],
+                "K": entry["K"],
+                "label": det["label"],
+                "score": det["score"],
+            })
+            pend_metas.append(RoiMeta(
+                scene_id=entry["scene_id"], im_id=entry["im_id"],
+                obj_id=det["obj_id"], score=det["score"],
+                det_time=det.get("time", 0.0)))
+    out = flush()
+    if out is not None:
+        yield out

@@ -1,0 +1,256 @@
+"""Device-side ROI batch preparation.
+
+The reference prepares each ROI on CPU dataloader workers (per-sample
+cv2.warpAffine crops of image/coords/masks/xyz, data_loader.py:497-560 and
+:647-818) and, for online GT, loops an EGL renderer over the batch
+(engine_utils.py:131-186). Here the ENTIRE pipeline is one jitted program
+over the batch: unique full images go to HBM once, ROIs gather their image
+by index, crops are batched bilinear gathers, the coord-2d map is computed
+in closed form, GT XYZ comes from the batched rasterizer, and region labels
+from one MXU cdist — no per-sample host loops anywhere.
+
+Convention notes (matching the reference):
+  * scale = max(bw, bh) * dzi_pad_scale, clipped to max(im_H, im_W)
+    (data_loader.py:760-763);
+  * resize_ratio = out_res / scale;
+  * roi_coord_2d is the [0,1)-normalized full-image coordinate map sampled
+    at the crop grid (get_2d_coord_np endpoint=False + warp == src/size);
+  * roi_cams stay FULL-IMAGE intrinsics (the SITE decode uses absolute
+    centroids); the rasterizer uses the crop-K at out_res.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.crop import affine_grid_from_boxes, roi_crop_resize, _bilinear_sample, _nearest_sample
+from ..ops.rasterizer import render_depth_xyz_batch
+from ..ops.region import xyz_to_region
+from ..geometry.camera import centered_crop_K
+
+
+def _gather_images(images: jax.Array, img_idx: jax.Array) -> jax.Array:
+    """(M, H, W, C), (B,) -> (B, H, W, C) by index (XLA gather, no copy on
+    equal indices until materialized into the crop)."""
+    return jnp.take(images, img_idx, axis=0)
+
+
+def roi_coord_2d_from_grid(grid: jax.Array, im_w: int, im_h: int) -> jax.Array:
+    """Closed-form roi_coord_2d: normalized source coords of each output
+    pixel (reference: get_2d_coord_np(low=0, high=1, endpoint=False) warped
+    by the same affine — sampling a linear ramp returns the coordinate)."""
+    wh = jnp.asarray([im_w, im_h], dtype=grid.dtype)
+    return grid / wh
+
+
+def compute_test_rois(
+    images: jax.Array,        # (M, H, W, 3) uint8/float raw images
+    img_idx: jax.Array,       # (B,) int
+    centers: jax.Array,       # (B, 2) bbox centers (pixels)
+    scales: jax.Array,        # (B,) crop side (pixels, already padded+clipped)
+    input_res: int,
+    output_res: int,
+    pixel_mean,
+    pixel_std,
+):
+    """Batched test-time ROI crops + coord-2d."""
+    imgs = _gather_images(images, img_idx).astype(jnp.float32)
+    roi_img = roi_crop_resize(imgs, centers, scales, input_res)
+    mean = jnp.asarray(pixel_mean, jnp.float32)
+    std = jnp.asarray(pixel_std, jnp.float32)
+    roi_img = (roi_img - mean) / std
+
+    grid_out = affine_grid_from_boxes(centers.astype(jnp.float32),
+                                      scales.astype(jnp.float32), output_res)
+    im_h, im_w = images.shape[1], images.shape[2]
+    roi_coord_2d = roi_coord_2d_from_grid(grid_out, im_w, im_h)
+    return roi_img, roi_coord_2d
+
+
+@partial(jax.jit, static_argnames=("input_res", "output_res", "pixel_mean",
+                                   "pixel_std"))
+def build_test_batch(
+    images: jax.Array,
+    img_idx: jax.Array,
+    boxes_xyxy: jax.Array,    # (B, 4) detection boxes
+    Ks: jax.Array,            # (B, 3, 3) full-image intrinsics
+    labels: jax.Array,        # (B,) class labels
+    extents: jax.Array,       # (C, 3) per-class extents bank
+    input_res: int = 256,
+    output_res: int = 64,
+    pixel_mean: tuple = (0.0, 0.0, 0.0),
+    pixel_std: tuple = (255.0, 255.0, 255.0),
+    dzi_pad_scale: float = 1.5,
+):
+    """Full detection->ROI-batch transform on device.
+
+    Returns the dict consumed by GDRN.__call__ (eval path).
+    """
+    im_h, im_w = images.shape[1], images.shape[2]
+    x1, y1, x2, y2 = (boxes_xyxy[:, 0], boxes_xyxy[:, 1],
+                      boxes_xyxy[:, 2], boxes_xyxy[:, 3])
+    bw = jnp.maximum(x2 - x1, 1.0)
+    bh = jnp.maximum(y2 - y1, 1.0)
+    centers = jnp.stack([(x1 + x2) * 0.5, (y1 + y2) * 0.5], axis=-1)
+    scales = jnp.minimum(jnp.maximum(bw, bh) * dzi_pad_scale,
+                         float(max(im_h, im_w)))
+    roi_img, roi_coord_2d = compute_test_rois(
+        images, img_idx, centers, scales, input_res, output_res,
+        pixel_mean, pixel_std)
+    return {
+        "roi_img": roi_img,
+        "roi_labels": labels.astype(jnp.int32),
+        "roi_coord_2d": roi_coord_2d,
+        "roi_cams": Ks.astype(jnp.float32),
+        "roi_centers": centers,
+        "roi_whs": jnp.stack([bw, bh], axis=-1),
+        "roi_extents": jnp.take(extents, labels, axis=0),
+        "resize_ratios": output_res / scales,
+    }
+
+
+@partial(jax.jit, static_argnames=("input_res", "output_res", "num_regions",
+                                   "pixel_mean", "pixel_std", "xyz_bin"))
+def build_train_batch_online(
+    images: jax.Array,        # (M, H, W, 3)
+    img_idx: jax.Array,       # (B,)
+    centers: jax.Array,       # (B, 2) DZI-jittered centers (host RNG)
+    scales: jax.Array,        # (B,) DZI-jittered scales
+    bboxes_xyxy: jax.Array,   # (B, 4) un-jittered boxes (for roi_wh targets)
+    Ks: jax.Array,            # (B, 3, 3)
+    labels: jax.Array,        # (B,)
+    gt_rots: jax.Array,       # (B, 3, 3) egocentric GT
+    gt_transes: jax.Array,    # (B, 3)
+    mask_visib: jax.Array,    # (M_or_B, H, W) full-image visible masks
+    mask_full: jax.Array,     # (M_or_B, H, W) full-image amodal masks
+    mask_idx: jax.Array,      # (B,) index into the mask stacks
+    verts: jax.Array,         # (C, V, 3) model bank
+    faces: jax.Array,         # (C, F, 3)
+    fps_points: jax.Array,    # (C, R, 3)
+    extents: jax.Array,       # (C, 3)
+    input_res: int = 256,
+    output_res: int = 64,
+    num_regions: int = 64,
+    pixel_mean: tuple = (0.0, 0.0, 0.0),
+    pixel_std: tuple = (255.0, 255.0, 255.0),
+    xyz_bin: int = 0,
+):
+    """Training batch with ONLINE GT: renders per-ROI depth with the crop-K,
+    derives object-space XYZ, masks, region labels and SITE targets — the
+    whole of engine_utils.batch_data_train_online as one compiled program.
+
+    GT coords are normalized to [0,1] by extent (+0.5), the reference's
+    convention (engine_utils.py:187-207).
+    """
+    B = centers.shape[0]
+    roi_img, roi_coord_2d = compute_test_rois(
+        images, img_idx, centers, scales, input_res, output_res,
+        pixel_mean, pixel_std)
+
+    # --- online GT: rasterize depth+xyz at the crop-K ------------------
+    crop_Ks = centered_crop_K(Ks.astype(jnp.float32), centers, scales, output_res)
+    roi_verts = jnp.take(verts, labels, axis=0)
+    roi_faces = jnp.take(faces, labels, axis=0)
+    depth, xyz = render_depth_xyz_batch(
+        roi_verts, roi_faces, gt_rots, gt_transes, crop_Ks,
+        output_res, output_res)
+    mask_obj = (depth > 1e-6).astype(jnp.float32)
+
+    # masks: crop the dataset-provided full-image masks (nearest)
+    mv = _gather_images(mask_visib[..., None].astype(jnp.float32), mask_idx)
+    mf = _gather_images(mask_full[..., None].astype(jnp.float32), mask_idx)
+    gt_mask_visib = roi_crop_resize(mv, centers, scales, output_res,
+                                    method="nearest")[..., 0]
+    gt_mask_full = roi_crop_resize(mf, centers, scales, output_res,
+                                   method="nearest")[..., 0]
+    gt_mask_trunc = gt_mask_visib * mask_obj  # visib ∩ rendered (engine_utils.py:175-179)
+
+    # region labels from xyz + fps bank
+    roi_fps = jnp.take(fps_points, labels, axis=0)
+    gt_region = xyz_to_region(xyz, roi_fps, mask=mask_obj)
+
+    # normalized xyz GT
+    roi_extents = jnp.take(extents, labels, axis=0)
+    xyz_norm = xyz / roi_extents[:, None, None, :] + 0.5
+    xyz_norm = xyz_norm * mask_obj[..., None]
+
+    # SITE targets (data_loader.py:614-644): relative centroid offset + rel z
+    x1, y1, x2, y2 = (bboxes_xyxy[:, 0], bboxes_xyxy[:, 1],
+                      bboxes_xyxy[:, 2], bboxes_xyxy[:, 3])
+    bw = jnp.maximum(x2 - x1, 1.0)
+    bh = jnp.maximum(y2 - y1, 1.0)
+    fx = Ks[:, 0, 0]
+    fy = Ks[:, 1, 1]
+    px = Ks[:, 0, 2]
+    py = Ks[:, 1, 2]
+    proj_x = fx * gt_transes[:, 0] / gt_transes[:, 2] + px
+    proj_y = fy * gt_transes[:, 1] / gt_transes[:, 2] + py
+    obj_center = jnp.stack([proj_x, proj_y], axis=-1)
+    delta_c = obj_center - centers
+    resize_ratios = output_res / scales
+    trans_ratio = jnp.stack([
+        delta_c[:, 0] / bw,
+        delta_c[:, 1] / bh,
+        gt_transes[:, 2] / resize_ratios,
+    ], axis=-1)
+
+    batch = {
+        "roi_img": roi_img,
+        "roi_labels": labels.astype(jnp.int32),
+        "roi_coord_2d": roi_coord_2d,
+        "roi_cams": Ks.astype(jnp.float32),
+        "roi_centers": centers,
+        "roi_whs": jnp.stack([bw, bh], axis=-1),
+        "roi_extents": roi_extents,
+        "resize_ratios": resize_ratios,
+        "gt_xyz": xyz_norm,
+        "gt_mask_trunc": gt_mask_trunc,
+        "gt_mask_visib": gt_mask_visib,
+        "gt_mask_obj": mask_obj,
+        "gt_mask_full": gt_mask_full,
+        "gt_region": gt_region,
+        "gt_rot": gt_rots,
+        "gt_trans": gt_transes,
+        "gt_trans_ratio": trans_ratio,
+    }
+    if xyz_bin > 0:
+        # quantize normalized coords into bins; bin index xyz_bin == bg
+        binned = jnp.clip((xyz_norm * xyz_bin).astype(jnp.int32), 0, xyz_bin - 1)
+        bg = jnp.broadcast_to((mask_obj < 0.5)[..., None], binned.shape)
+        batch["gt_xyz_bin"] = jnp.where(bg, xyz_bin, binned)
+    return batch
+
+
+def dzi_jitter_host(rng, bboxes_xyxy, im_w, im_h,
+                    pad_scale=1.5, scale_ratio=0.25, shift_ratio=0.25,
+                    dzi_type="uniform"):
+    """Host-side DZI (dynamic zoom-in) bbox jitter
+    (reference: core/base_data_loader.py:188-231 'uniform' branch):
+      center += uniform(-shift, shift) * (bw, bh)
+      scale = max(bw, bh) * (1 + uniform(-r, r)) * pad_scale, clipped.
+    numpy RNG on purpose: cheap scalar work, keeps device code shape-static.
+    """
+    import numpy as np
+    b = np.asarray(bboxes_xyxy, np.float32)
+    bw = np.maximum(b[:, 2] - b[:, 0], 1.0)
+    bh = np.maximum(b[:, 3] - b[:, 1], 1.0)
+    cx = (b[:, 0] + b[:, 2]) * 0.5
+    cy = (b[:, 1] + b[:, 3]) * 0.5
+    n = len(b)
+    if dzi_type == "uniform":
+        scale_jit = 1.0 + scale_ratio * rng.uniform(-1, 1, n)
+        shift_x = shift_ratio * rng.uniform(-1, 1, n)
+        shift_y = shift_ratio * rng.uniform(-1, 1, n)
+    elif dzi_type == "none":
+        scale_jit = np.ones(n)
+        shift_x = shift_y = np.zeros(n)
+    else:
+        raise ValueError(dzi_type)
+    centers = np.stack([cx + shift_x * bw, cy + shift_y * bh], axis=-1)
+    scales = np.minimum(np.maximum(bw, bh) * scale_jit * pad_scale,
+                        float(max(im_w, im_h)))
+    return centers.astype(np.float32), scales.astype(np.float32)
