@@ -162,6 +162,13 @@ _register(DatasetMeta(
 ))
 
 
+def register_meta(meta: DatasetMeta) -> DatasetMeta:
+    """Register a custom dataset (user datasets / tests). Reference
+    analogue: the per-dataset register_with_name_cfg + DatasetCatalog
+    machinery (core/gdrn_modeling/datasets/dataset_factory.py)."""
+    return _register(meta)
+
+
 def get_meta(name: str) -> DatasetMeta:
     key = name.split("_")[0]
     if key not in DATASETS_META:

@@ -1,0 +1,177 @@
+"""Training driver: the do_train loop.
+
+Reference: GDRN_Lite.do_train (core/gdrn_modeling/engine/engine.py:166-420).
+Differences by design: the iteration body is ONE jitted program (batch prep
++ online GT render + fwd/bwd + optimizer + EMA); gradient sync is implicit
+in the sharded jit; checkpointing via orbax; metrics to console + a
+metrics.json event stream (reference my_writer.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..datasets.meta import get_meta
+from ..datasets.train_loader import GdrnTrainLoader
+from ..models import build_gdrn
+from ..solver import build_lr_scheduler, build_optimizer
+from ..parallel import make_mesh, replicated_sharding, shard_batch
+from .batching import build_train_batch_online
+from .train_state import create_train_state
+from .train_step import make_train_step
+from .checkpoint import CheckpointManager
+
+
+class MetricsWriter:
+    """Console + metrics.json writers (reference: my_writer.py:120,268)."""
+
+    def __init__(self, output_dir: str, max_iter: int, log_period: int = 20):
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, "metrics.json")
+        self.max_iter = max_iter
+        self.log_period = log_period
+        self._t_start = time.perf_counter()
+        self._last_iter = 0
+
+    def write(self, iteration: int, metrics: dict, lr: float):
+        row = {k: float(v) for k, v in metrics.items()}
+        row["iteration"] = iteration
+        row["lr"] = float(lr)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        elapsed = time.perf_counter() - self._t_start
+        done = max(iteration, 1)
+        eta = elapsed / done * (self.max_iter - done)
+        print(f"iter {iteration}/{self.max_iter} "
+              f"loss {row.get('total_loss', float('nan')):.4f} "
+              f"eR {row.get('error_R_deg', float('nan')):.2f}deg "
+              f"et {row.get('error_t_cm', float('nan')):.2f}cm "
+              f"lr {lr:.2e} eta {eta/60:.1f}min", flush=True)
+
+
+def train_gdrn(cfg: Config, records, model_bank, records2=None,
+               max_iters: Optional[int] = None, resume: bool = True,
+               meta=None):
+    """Train GDRN. records: InstanceRecord list; model_bank: ModelBank;
+    meta: DatasetMeta (resolved from cfg.datasets.train when omitted)."""
+    if meta is None and cfg.datasets.train:
+        meta = get_meta(cfg.datasets.train[0])
+    im_w = meta.width if meta else 640
+    im_h = meta.height if meta else 480
+    pc = cfg.model.pose_net
+
+    iters_per_epoch = max(len(records) // cfg.solver.ims_per_batch, 1)
+    total_iters = max_iters or cfg.solver.total_epochs * iters_per_epoch
+
+    # model + optimizer ---------------------------------------------------
+    # the schedule must span the ACTUAL run length (max_iters overrides the
+    # epoch-derived horizon), otherwise anneal hits zero prematurely
+    model = build_gdrn(cfg)
+    from ..solver.lr_scheduler import flat_and_anneal_schedule
+    sc = cfg.solver
+    if sc.lr_scheduler == "flat_and_anneal":
+        sched = flat_and_anneal_schedule(
+            base_lr=sc.base_lr, total_iters=total_iters,
+            warmup_iters=sc.warmup_iters, warmup_factor=sc.warmup_factor,
+            warmup_method=sc.warmup_method, anneal_point=sc.anneal_point,
+            anneal_method=sc.anneal_method)
+    else:
+        sched = build_lr_scheduler(cfg, iters_per_epoch)
+    tx = build_optimizer(cfg, sched)
+
+    loader = GdrnTrainLoader(
+        records, cfg.solver.ims_per_batch, im_w, im_h,
+        records2=records2, ratio2=cfg.datasets.train2_ratio,
+        dzi_pad_scale=cfg.input.dzi_pad_scale,
+        dzi_scale_ratio=cfg.input.dzi_scale_ratio,
+        dzi_shift_ratio=cfg.input.dzi_shift_ratio,
+        dzi_type=cfg.input.dzi_type,
+        bbox_type=cfg.model.bbox_type,
+        seed=cfg.train.seed)
+
+    verts = jnp.asarray(model_bank.verts)
+    faces = jnp.asarray(model_bank.faces)
+    fps_pts = jnp.asarray(model_bank.fps_points[:, :pc.geo_head.num_regions])
+    extents = jnp.asarray(model_bank.extents)
+    points = jnp.asarray(model_bank.points)
+    sym_bank, sym_mask = model_bank.sym_bank()
+
+    # init ---------------------------------------------------------------
+    host = next(iter(loader))
+    prep_args = dict(
+        input_res=pc.input_res, output_res=pc.output_res,
+        num_regions=pc.geo_head.num_regions,
+        pixel_mean=tuple(cfg.model.pixel_mean),
+        pixel_std=tuple(cfg.model.pixel_std),
+        xyz_bin=(pc.geo_head.xyz_num_bins
+                 if pc.loss.xyz_loss_type == "CE_coor" else 0))
+
+    def prep(host_batch, key):
+        from ..ops.color_aug import cosy_aae_color_aug
+        images = jnp.asarray(host_batch["images"])
+        if cfg.input.color_aug.prob > 0:
+            images = cosy_aae_color_aug(key, images,
+                                        global_prob=cfg.input.color_aug.prob)
+        batch = build_train_batch_online(
+            images, jnp.asarray(host_batch["img_idx"]),
+            jnp.asarray(host_batch["centers"]), jnp.asarray(host_batch["scales"]),
+            jnp.asarray(host_batch["bboxes_xyxy"]), jnp.asarray(host_batch["Ks"]),
+            jnp.asarray(host_batch["labels"]), jnp.asarray(host_batch["gt_rots"]),
+            jnp.asarray(host_batch["gt_transes"]),
+            jnp.asarray(host_batch["mask_visib"]), jnp.asarray(host_batch["mask_full"]),
+            jnp.asarray(host_batch["mask_idx"]),
+            verts, faces, fps_pts, extents, **prep_args)
+        batch["gt_points"] = jnp.take(points, batch["roi_labels"], axis=0)
+        return batch
+
+    batch0 = prep(host, jax.random.PRNGKey(0))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(cfg.train.seed)},
+        batch0["roi_img"], batch0["roi_labels"], batch0["roi_coord_2d"],
+        batch0["roi_cams"], batch0["roi_centers"], batch0["roi_whs"],
+        batch0["roi_extents"], batch0["resize_ratios"])
+    state = create_train_state(model.apply, variables["params"], tx,
+                               ema_decay=cfg.model.ema_decay,
+                               ema_warmup=cfg.model.ema_warmup_updates)
+
+    mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpt"),
+                             max_to_keep=cfg.solver.max_to_keep)
+    start_iter = 0
+    if resume:
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state = jax.device_put(restored, replicated_sharding(mesh))
+            start_iter = int(state.step)
+            print(f"resumed from iter {start_iter}")
+
+    step_fn = make_train_step(cfg, sym_bank, sym_mask)
+    writer = MetricsWriter(cfg.output_dir, total_iters, cfg.train.log_period)
+    ckpt_period = max(cfg.solver.checkpoint_period_epochs * iters_per_epoch, 1)
+
+    rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    host_batch = host
+    for it in range(start_iter, total_iters):
+        rng, k_aug, k_drop = jax.random.split(rng, 3)
+        batch = prep(host_batch, k_aug)
+        batch = shard_batch(batch, mesh)
+        progress = jnp.asarray(it / max(total_iters, 1), jnp.float32)
+        state, metrics = step_fn(state, batch, k_drop, progress)
+        if (it + 1) % cfg.train.log_period == 0 or it == start_iter:
+            writer.write(it + 1, jax.device_get(metrics), float(sched(it)))
+        if (it + 1) % ckpt_period == 0 or (it + 1) == total_iters:
+            ckpt.save(state, it + 1)
+        if it + 1 < total_iters:
+            host_batch = next(iter(loader))
+    loader.close()
+    return state

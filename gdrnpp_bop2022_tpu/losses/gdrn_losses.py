@@ -229,9 +229,10 @@ def compute_gdrn_losses(
                 outputs["full_mask"], batch["gt_mask_full"], lc.full_mask_loss_type) * lc.full_mask_lw
 
         # region ------------------------------------------------------------
-        m_region = gt_masks[lc.region_loss_mask_gt]
-        losses["loss_region"] = region_ce_loss(
-            outputs["region"], batch["gt_region"], m_region) * lc.region_lw
+        if lc.region_lw > 0 and outputs["region"].shape[-1] > 0:
+            m_region = gt_masks[lc.region_loss_mask_gt]
+            losses["loss_region"] = region_ce_loss(
+                outputs["region"], batch["gt_region"], m_region) * lc.region_lw
 
     # point matching ------------------------------------------------------
     if lc.pm_lw > 0:

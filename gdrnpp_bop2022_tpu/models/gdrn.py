@@ -27,7 +27,8 @@ from ..geometry.se3 import (
 )
 from .backbones.convnext import convnext_tiny, convnext_small, convnext_base
 from .backbones.resnet import resnet34, resnet50
-from .heads.top_down_head import TopDownDoubleMaskXyzRegionHead
+from .heads.top_down_head import (TopDownDoubleMaskXyzRegionHead,
+                                  TopDownMaskXyzRegionHead)
 from .heads.conv_pnp_net import ConvPnPNet
 
 
@@ -60,7 +61,9 @@ def xyz_mask_region_out_dims(cfg: PoseNetConfig) -> tuple[int, int, int]:
         mask_out_dim = 4
     else:
         raise NotImplementedError(lc.mask_loss_type)
-    region_out_dim = cfg.geo_head.num_regions + 1
+    # no-region variant (reference GDRN_no_region.py): num_regions == 0
+    region_out_dim = (cfg.geo_head.num_regions + 1
+                      if cfg.geo_head.num_regions > 0 else 0)
     return xyz_out_dim, mask_out_dim, region_out_dim
 
 
@@ -110,8 +113,16 @@ class GDRN(nn.Module):
         self._dims = (xyz_dim, mask_dim, region_dim)
         nc = pc.num_classes
         self.backbone = _build_backbone(pc, self.dtype)
+        # RGB-D dual-stream variant (reference GDRN_Dstream_double_mask.py:37):
+        # a second backbone over backprojected depth, fused by concat
+        self.depth_backbone = (_build_backbone(pc, self.dtype)
+                               if "dstream" in pc.name else None)
         gh = pc.geo_head
-        self.geo_head = TopDownDoubleMaskXyzRegionHead(
+        head_cls = (TopDownMaskXyzRegionHead
+                    if gh.name == "top_down_mask_xyz_region"
+                    else TopDownDoubleMaskXyzRegionHead)
+        single_mask = head_cls is TopDownMaskXyzRegionHead
+        self.geo_head = head_cls(
             up_types=gh.up_types,
             deconv_kernel_size=gh.deconv_kernel_size,
             num_conv_per_block=gh.num_conv_per_block,
@@ -123,7 +134,8 @@ class GDRN(nn.Module):
             mask_num_classes=nc if gh.mask_class_aware else 1,
             xyz_num_classes=nc if gh.xyz_class_aware else 1,
             region_num_classes=nc if gh.region_class_aware else 1,
-            mask_out_dim=mask_dim,
+            # single-mask head carries only the visible-mask channels
+            mask_out_dim=mask_dim // 2 if single_mask else mask_dim,
             xyz_out_dim=xyz_dim,
             region_out_dim=region_dim,
             dtype=self.dtype,
@@ -155,6 +167,7 @@ class GDRN(nn.Module):
         roi_whs: jax.Array,              # (B, 2)
         roi_extents: jax.Array,          # (B, 3)
         resize_ratios: jax.Array,        # (B,)
+        roi_depth: Optional[jax.Array] = None,  # (B, H, W, C) RGB-D stream
         deterministic: bool = True,
         progress: float = 1.0,
         train: bool = False,
@@ -165,6 +178,11 @@ class GDRN(nn.Module):
         xyz_dim, mask_dim, region_dim = self._dims
 
         feat = self.backbone(roi_img.astype(self.dtype), deterministic=deterministic)
+        if self.depth_backbone is not None:
+            assert roi_depth is not None, "dstream model needs roi_depth"
+            dfeat = self.depth_backbone(roi_depth.astype(self.dtype),
+                                        deterministic=deterministic)
+            feat = jnp.concatenate([feat, dfeat], axis=-1)
         geo = self.geo_head(feat)
         vis_mask, full_mask = geo["vis_mask"], geo["full_mask"]
         coor_x, coor_y, coor_z = geo["coor_x"], geo["coor_y"], geo["coor_z"]
@@ -177,8 +195,9 @@ class GDRN(nn.Module):
             coor_z = _gather_class(coor_z, roi_labels, nc)
         if gh.mask_class_aware:
             vis_mask = _gather_class(vis_mask, roi_labels, nc)
-            full_mask = _gather_class(full_mask, roi_labels, nc)
-        if gh.region_class_aware:
+            if full_mask is not None:
+                full_mask = _gather_class(full_mask, roi_labels, nc)
+        if gh.region_class_aware and region_dim > 0:
             region = _gather_class(region, roi_labels, nc)
 
         # coordinate feature for the PnP head -----------------------------
@@ -196,8 +215,9 @@ class GDRN(nn.Module):
                 [coor_feat, roi_coord_2d.astype(coor_feat.dtype)], axis=-1)
 
         # region softmax excludes the LEADING bg channel
-        region_softmax = jax.nn.softmax(region[..., 1:], axis=-1)
-        region_atten = region_softmax if pn.region_attention else None
+        region_atten = None
+        if region_dim > 0 and pn.region_attention:
+            region_atten = jax.nn.softmax(region[..., 1:], axis=-1)
 
         mask_atten = None
         if pn.mask_attention != "none":

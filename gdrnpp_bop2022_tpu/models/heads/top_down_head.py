@@ -32,10 +32,14 @@ class _UpBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.up_type == "deconv":
-            # kernel 3, stride 2, pad 1, output_pad 1 == exact 2x upsample
+            # kernel 3, stride 2, pad 1, output_pad 1 == exact 2x upsample;
+            # the asymmetric ((1,2),(1,2)) padding makes flax ConvTranspose
+            # numerically identical to the torch deconv (verified in
+            # tests/test_torch_port.py) so ported weights are bit-faithful
             x = nn.ConvTranspose(self.feat_dim,
                                  (self.deconv_kernel_size, self.deconv_kernel_size),
-                                 strides=(2, 2), padding="SAME", use_bias=False,
+                                 strides=(2, 2), padding=((1, 2), (1, 2)),
+                                 use_bias=False,
                                  dtype=self.dtype, param_dtype=jnp.float32,
                                  name="deconv")(x)
             x = get_norm(self.norm, self.num_gn_groups, self.dtype)(x)

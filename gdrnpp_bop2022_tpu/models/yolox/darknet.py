@@ -1,0 +1,153 @@
+"""CSPDarknet backbone for YOLOX (flax.linen, NHWC, bf16-friendly).
+
+Reference behavior: det/yolox/models/network_blocks.py + darknet.py
+(Focus stem, CSP stages, SPP bottleneck, SiLU). From-scratch NHWC
+implementation: the Focus pixel-unshuffle becomes a reshape/transpose that
+XLA fuses into the first conv; BN is replaced by GroupNorm by default —
+cross-replica BatchNorm stats are a TPU anti-pattern and the reference
+itself needs allreduce_norm hacks (det/yolox/utils/allreduce_norm.py) that
+vanish with GN. (BN remains available for strict parity experiments.)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class ConvBnAct(nn.Module):
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    groups: int = 1
+    act: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
+                    strides=(self.strides, self.strides), padding="SAME",
+                    feature_group_count=self.groups, use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        orig = x.dtype
+        x = nn.GroupNorm(num_groups=min(32, x.shape[-1]),
+                         dtype=jnp.float32, param_dtype=jnp.float32)(
+                             x.astype(jnp.float32)).astype(orig)
+        return nn.silu(x) if self.act else x
+
+
+class DWConv(nn.Module):
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvBnAct(x.shape[-1], self.kernel_size, self.strides,
+                      groups=x.shape[-1], dtype=self.dtype, name="dconv")(x)
+        return ConvBnAct(self.features, 1, 1, dtype=self.dtype, name="pconv")(x)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.features * self.expansion)
+        y = ConvBnAct(hidden, 1, dtype=self.dtype, name="conv1")(x)
+        Conv = DWConv if self.depthwise else ConvBnAct
+        y = Conv(self.features, 3, dtype=self.dtype, name="conv2")(y)
+        if self.shortcut and x.shape[-1] == self.features:
+            y = y + x
+        return y
+
+
+class CSPLayer(nn.Module):
+    features: int
+    n: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.features * self.expansion)
+        a = ConvBnAct(hidden, 1, dtype=self.dtype, name="conv1")(x)
+        b = ConvBnAct(hidden, 1, dtype=self.dtype, name="conv2")(x)
+        for i in range(self.n):
+            a = Bottleneck(hidden, self.shortcut, 1.0, self.depthwise,
+                           dtype=self.dtype, name=f"m{i}")(a)
+        out = jnp.concatenate([a, b], axis=-1)
+        return ConvBnAct(self.features, 1, dtype=self.dtype, name="conv3")(out)
+
+
+class SPPBottleneck(nn.Module):
+    features: int
+    kernel_sizes: Tuple[int, ...] = (5, 9, 13)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = x.shape[-1] // 2
+        x = ConvBnAct(hidden, 1, dtype=self.dtype, name="conv1")(x)
+        pools = [x] + [
+            nn.max_pool(x, (k, k), strides=(1, 1), padding="SAME")
+            for k in self.kernel_sizes]
+        x = jnp.concatenate(pools, axis=-1)
+        return ConvBnAct(self.features, 1, dtype=self.dtype, name="conv2")(x)
+
+
+def focus_rearrange(x: jax.Array) -> jax.Array:
+    """Pixel-unshuffle 2x: (B, H, W, C) -> (B, H/2, W/2, 4C)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(B, H // 2, W // 2, 4 * C)
+
+
+class CSPDarknet(nn.Module):
+    """Returns features dict {"dark3": s8, "dark4": s16, "dark5": s32}."""
+    dep_mul: float = 1.0
+    wid_mul: float = 1.0
+    depthwise: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        base_c = int(self.wid_mul * 64)
+        base_d = max(round(self.dep_mul * 3), 1)
+
+        # stem (Focus)
+        x = focus_rearrange(x)
+        x = ConvBnAct(base_c, 3, dtype=self.dtype, name="stem")(x)
+
+        x = ConvBnAct(base_c * 2, 3, 2, dtype=self.dtype, name="dark2_conv")(x)
+        x = CSPLayer(base_c * 2, base_d, depthwise=self.depthwise,
+                     dtype=self.dtype, name="dark2_csp")(x)
+
+        x = ConvBnAct(base_c * 4, 3, 2, dtype=self.dtype, name="dark3_conv")(x)
+        x = CSPLayer(base_c * 4, base_d * 3, depthwise=self.depthwise,
+                     dtype=self.dtype, name="dark3_csp")(x)
+        d3 = x
+
+        x = ConvBnAct(base_c * 8, 3, 2, dtype=self.dtype, name="dark4_conv")(x)
+        x = CSPLayer(base_c * 8, base_d * 3, depthwise=self.depthwise,
+                     dtype=self.dtype, name="dark4_csp")(x)
+        d4 = x
+
+        x = ConvBnAct(base_c * 16, 3, 2, dtype=self.dtype, name="dark5_conv")(x)
+        x = SPPBottleneck(base_c * 16, dtype=self.dtype, name="dark5_spp")(x)
+        x = CSPLayer(base_c * 16, base_d, shortcut=False,
+                     depthwise=self.depthwise, dtype=self.dtype,
+                     name="dark5_csp")(x)
+        d5 = x
+        return {"dark3": d3, "dark4": d4, "dark5": d5}

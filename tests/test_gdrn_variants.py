@@ -1,0 +1,97 @@
+"""GDRN variant coverage: single-mask, no-region, CE_coor bins, RGB-D
+dual-stream (reference model zoo: GDRN.py, GDRN_no_region.py, GDRN_cls.py,
+GDRN_Dstream_double_mask.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gdrnpp_bop2022_tpu.config import Config, replace_cfg
+from gdrnpp_bop2022_tpu.models import build_gdrn
+from gdrnpp_bop2022_tpu.losses.gdrn_losses import compute_gdrn_losses
+from gdrnpp_bop2022_tpu.geometry.symmetry import build_sym_bank
+from gdrnpp_bop2022_tpu.utils.fake_data import fake_gdrn_batch
+
+
+def _cfg(**over):
+    base = {
+        "model.pose_net.num_classes": 2,
+        "model.pose_net.input_res": 64,
+        "model.pose_net.output_res": 16,
+        "model.pose_net.backbone.name": "convnext_tiny",
+        "model.pose_net.geo_head.feat_dim": 32,
+        "model.pose_net.geo_head.num_gn_groups": 8,
+        "model.pose_net.geo_head.num_regions": 8,
+        "model.pose_net.pnp_net.featdim": 32,
+        "model.pose_net.pnp_net.num_gn_groups": 8,
+        "model.compute_dtype": "float32",
+    }
+    base.update(over)
+    return replace_cfg(Config(), base)
+
+
+def _run(cfg, extra_inputs=None):
+    pc = cfg.model.pose_net
+    batch = fake_gdrn_batch(2, pc.input_res, pc.output_res, pc.num_classes,
+                            max(pc.geo_head.num_regions, 1), num_points=32,
+                            with_bins=pc.loss.xyz_loss_type == "CE_coor",
+                            xyz_bins=pc.geo_head.xyz_num_bins)
+    batch = jax.tree.map(jnp.asarray, batch)
+    model = build_gdrn(cfg)
+    kwargs = dict(
+        roi_img=batch["roi_img"], roi_labels=batch["roi_labels"],
+        roi_coord_2d=batch["roi_coord_2d"], roi_cams=batch["roi_cams"],
+        roi_centers=batch["roi_centers"], roi_whs=batch["roi_whs"],
+        roi_extents=batch["roi_extents"], resize_ratios=batch["resize_ratios"])
+    if extra_inputs:
+        kwargs.update(extra_inputs)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, **kwargs)
+    out = model.apply(variables, **kwargs)
+    return out, batch
+
+
+def test_single_mask_variant():
+    cfg = _cfg(**{"model.pose_net.geo_head.name": "top_down_mask_xyz_region",
+                  "model.pose_net.loss.full_mask_lw": 0.0})
+    out, batch = _run(cfg)
+    assert out["full_mask"] is None
+    assert out["vis_mask"].shape == (2, 16, 16)
+    out_loss = {**out, "rot_ego": out["rot"]}
+    sb, sm = build_sym_bank([None, None])
+    losses = compute_gdrn_losses(cfg, out_loss, batch, sb, sm)
+    assert "loss_mask_full" not in losses
+    assert np.isfinite(float(sum(losses.values())))
+
+
+def test_no_region_variant():
+    cfg = _cfg(**{"model.pose_net.geo_head.num_regions": 0,
+                  "model.pose_net.pnp_net.region_attention": False,
+                  "model.pose_net.loss.region_lw": 0.0})
+    out, batch = _run(cfg)
+    assert out["region"].shape[-1] == 0
+    out_loss = {**out, "rot_ego": out["rot"]}
+    sb, sm = build_sym_bank([None, None])
+    losses = compute_gdrn_losses(cfg, out_loss, batch, sb, sm)
+    assert "loss_region" not in losses
+    assert np.isfinite(float(sum(losses.values())))
+
+
+def test_ce_coor_bins_variant():
+    cfg = _cfg(**{"model.pose_net.loss.xyz_loss_type": "CE_coor",
+                  "model.pose_net.geo_head.xyz_num_bins": 8})
+    out, batch = _run(cfg)
+    assert out["coor_x"].shape[-1] == 9      # bins + bg
+    out_loss = {**out, "rot_ego": out["rot"]}
+    sb, sm = build_sym_bank([None, None])
+    losses = compute_gdrn_losses(cfg, out_loss, batch, sb, sm)
+    assert np.isfinite(float(losses["loss_coor_x"]))
+
+
+def test_dstream_rgbd_variant():
+    cfg = _cfg(**{"model.pose_net.name": "gdrn_dstream_double_mask"})
+    depth = jnp.asarray(np.random.RandomState(0).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32))
+    out, batch = _run(cfg, extra_inputs={"roi_depth": depth})
+    assert out["rot"].shape == (2, 3, 3)
+    assert np.isfinite(np.asarray(out["trans"])).all()

@@ -1,0 +1,82 @@
+"""YOLOX data pipeline + trainer smoke + detection eval tests."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gdrnpp_bop2022_tpu.datasets.yolox_loader import (
+    DetRecord, YoloxTrainLoader, det_records_from_instances)
+from gdrnpp_bop2022_tpu.eval.detection_eval import (
+    detections_to_bop_json, coco_map)
+
+from synth_utils import build_synth_bop
+
+
+@pytest.fixture(scope="module")
+def det_records(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bop_det") / "synth"
+    s = build_synth_bop(root, split="train", n_images=4, seed=5)
+    from gdrnpp_bop2022_tpu.datasets.bop_data import index_bop_split
+    recs = index_bop_split(s["split_dir"], s["meta"])
+    return det_records_from_instances(recs)
+
+
+def test_loader_yields_valid_batches(det_records):
+    loader = YoloxTrainLoader(det_records, batch_size=2, input_size=128,
+                              max_gt=16, seed=0)
+    batch = next(iter(loader))
+    loader.close()
+    assert batch["images"].shape == (2, 128, 128, 3)
+    assert batch["gt_boxes"].shape == (2, 16, 4)
+    assert batch["gt_valid"].dtype == bool
+    # mosaic of images with objects should yield some boxes
+    assert batch["gt_valid"].sum() > 0
+    b = batch["gt_boxes"][batch["gt_valid"]]
+    assert (b[:, 2] > 0).all() and (b[:, 3] > 0).all()
+    assert (b[:, 0] >= 0).all() and (b[:, 0] <= 128).all()
+
+
+def test_yolox_trainer_smoke(det_records, tmp_path):
+    from gdrnpp_bop2022_tpu.engine.yolox_trainer import train_yolox
+    loader = YoloxTrainLoader(det_records, batch_size=2, input_size=64,
+                              max_gt=8, seed=0)
+    state = train_yolox(det_records, num_classes=2,
+                        output_dir=str(tmp_path), size="yolox_s",
+                        input_size=64, batch_size=2, total_iters=3,
+                        mesh_shape=(1,), log_period=1, ckpt_period=3,
+                        loader=loader)
+    assert int(state.step) == 3
+    import json
+    rows = [json.loads(l) for l in
+            open(os.path.join(tmp_path, "metrics_yolox.json"))]
+    assert np.isfinite(rows[-1]["total_loss"])
+
+
+def test_detection_handoff_json():
+    per_image = {"1/0": {
+        "boxes_xyxy": np.array([[10, 10, 50, 60], [0, 0, 5, 5]], np.float32),
+        "scores": np.array([0.9, 0.0], np.float32),
+        "labels": np.array([0, 1]),
+        "valid": np.array([True, True]),
+        "time": 0.02,
+    }}
+    out = detections_to_bop_json(per_image, {0: 1, 1: 2})
+    assert "1/0" in out and len(out["1/0"]) == 1
+    det = out["1/0"][0]
+    assert det["obj_id"] == 1
+    assert det["bbox_est"] == [10.0, 10.0, 40.0, 50.0]
+
+
+def test_coco_map_perfect_and_poor():
+    gts = {"a": [{"bbox_xyxy": [10, 10, 50, 60], "label": 0}],
+           "b": [{"bbox_xyxy": [20, 20, 80, 90], "label": 1}]}
+    perfect = {"a": [{"bbox_xyxy": [10, 10, 50, 60], "label": 0, "score": 0.9}],
+               "b": [{"bbox_xyxy": [20, 20, 80, 90], "label": 1, "score": 0.8}]}
+    m = coco_map(perfect, gts, num_classes=2)
+    assert m["mAP"] > 0.99
+    poor = {"a": [{"bbox_xyxy": [100, 100, 140, 150], "label": 0, "score": 0.9}]}
+    m2 = coco_map(poor, gts, num_classes=2)
+    assert m2["mAP"] < 0.1

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""GDRN evaluation CLI: detections -> poses -> BOP CSV -> scores.
+
+Reference interface: test_gdrn.sh <config> <gpu_ids> <ckpt> (README.md:63-83)
+-> main_gdrn.py --eval-only. Here:
+
+    python tools/test_gdrn.py --config configs/gdrn/ycbv_convnext_base.py \
+        [--ckpt output/.../ckpt] [--opts val.use_depth_refine=True ...]
+
+Writes <output_dir>/inference/<dataset>/poses.csv (BOP19 format) and
+scores.json; prints the score table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_eval(cfg, meta, bank, ckpt_dir=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gdrnpp_bop2022_tpu.bop.inout import (save_bop_results, save_json,
+                                              load_test_targets)
+    from gdrnpp_bop2022_tpu.datasets.bop_data import (
+        index_bop_split, load_detections, make_records_by_image, load_depth)
+    from gdrnpp_bop2022_tpu.datasets.test_loader import iter_test_batches
+    from gdrnpp_bop2022_tpu.engine.inference import (
+        run_gdrn_inference, results_to_bop_rows)
+    from gdrnpp_bop2022_tpu.eval.scorer import score_bop_results
+    from gdrnpp_bop2022_tpu.models import build_gdrn
+    from gdrnpp_bop2022_tpu.engine.checkpoint import CheckpointManager
+    from gdrnpp_bop2022_tpu.solver import build_lr_scheduler, build_optimizer
+    from gdrnpp_bop2022_tpu.engine import create_train_state
+
+    test_name = cfg.datasets.test[0]
+    split = test_name.split("_", 1)[1] if "_" in test_name else "test"
+    split_dir = os.path.join(cfg.datasets.root, meta.name, split)
+    records = index_bop_split(split_dir, meta)
+    by_im = make_records_by_image(records)
+
+    assert cfg.datasets.det_files_test, "need datasets.det_files_test"
+    dets = load_detections(cfg.datasets.det_files_test[0], meta,
+                           top_k_per_obj=cfg.datasets.det_topk_per_obj,
+                           score_thr=cfg.datasets.det_thr)
+
+    # model + params
+    model = build_gdrn(cfg)
+    pc = cfg.model.pose_net
+    from gdrnpp_bop2022_tpu.utils.fake_data import fake_gdrn_batch
+    fb = fake_gdrn_batch(2, pc.input_res, pc.output_res, pc.num_classes,
+                         pc.geo_head.num_regions, num_points=8)
+    fb = jax.tree.map(jnp.asarray, fb)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           fb["roi_img"], fb["roi_labels"], fb["roi_coord_2d"],
+                           fb["roi_cams"], fb["roi_centers"], fb["roi_whs"],
+                           fb["roi_extents"], fb["resize_ratios"])
+    params = variables["params"]
+    if ckpt_dir:
+        tx = build_optimizer(cfg, build_lr_scheduler(cfg, 1000))
+        state = create_train_state(model.apply, params, tx)
+        mgr = CheckpointManager(ckpt_dir)
+        restored = mgr.restore_latest(state)
+        assert restored is not None, f"no checkpoint in {ckpt_dir}"
+        params = restored.ema_params if cfg.model.ema_enabled else restored.params
+        print(f"loaded checkpoint step {int(restored.step)}")
+
+    def apply_fn(p, batch):
+        return model.apply({"params": p}, **batch)
+
+    batches = iter_test_batches(by_im, dets, batch_size=64)
+    results = run_gdrn_inference(
+        apply_fn, params, batches, bank.extents,
+        input_res=pc.input_res, output_res=pc.output_res,
+        pixel_mean=cfg.model.pixel_mean, pixel_std=cfg.model.pixel_std)
+
+    out_dir = os.path.join(cfg.output_dir, "inference", test_name)
+    os.makedirs(out_dir, exist_ok=True)
+    csv_path = os.path.join(out_dir, "poses.csv")
+    save_bop_results(csv_path, results_to_bop_rows(results))
+    print(f"wrote {len(results)} poses -> {csv_path}")
+
+    # score against GT when available
+    gt_rows = []
+    for r in records:
+        if r.pose is None:
+            continue
+        gt_rows.append({"scene_id": r.scene_id, "im_id": r.im_id,
+                        "obj_id": r.obj_id, "R": r.pose[:, :3],
+                        "t": r.pose[:, 3], "visib_fract": r.visib_fract})
+    if gt_rows:
+        targets_path = os.path.join(cfg.datasets.root, meta.name,
+                                    cfg.val.targets_filename)
+        targets = (load_test_targets(targets_path)
+                   if os.path.exists(targets_path) else None)
+
+        def depth_getter(scene_id, im_id):
+            p = os.path.join(split_dir, f"{scene_id:06d}", "depth",
+                             f"{im_id:06d}.png")
+            if not os.path.exists(p):
+                return None
+            rec = by_im.get(f"{scene_id}/{im_id}")
+            ds = rec["depth_scale"] if rec else 1.0
+            return load_depth(p, ds, meta.depth_factor)
+
+        scores = score_bop_results(
+            results, gt_rows, bank, targets=targets, im_width=meta.width,
+            depth_test_getter=depth_getter)
+        save_json(os.path.join(out_dir, "scores.json"), scores)
+        print(json.dumps(scores, indent=2))
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--opts", nargs="*", default=[])
+    args = ap.parse_args()
+
+    from gdrnpp_bop2022_tpu.config import parse_opts, replace_cfg
+    from tools.train_gdrn import load_config
+    cfg = load_config(args.config)
+    if args.opts:
+        cfg = replace_cfg(cfg, parse_opts(args.opts))
+
+    from gdrnpp_bop2022_tpu.datasets.meta import get_meta
+    from gdrnpp_bop2022_tpu.bop.models3d import ModelBank
+    meta = get_meta(cfg.datasets.test[0])
+    bank = ModelBank.from_bop_models_dir(
+        meta.models_dir(cfg.datasets.root, "models_eval")
+        if os.path.isdir(meta.models_dir(cfg.datasets.root, "models_eval"))
+        else meta.models_dir(cfg.datasets.root),
+        num_fps=cfg.model.pose_net.geo_head.num_regions)
+    run_eval(cfg, meta, bank, ckpt_dir=args.ckpt)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""YOLOX evaluation CLI: runs detection over a BOP test split, writes the
+test_bboxes handoff json (consumed by GDRN's datasets.det_files_test) and
+reports COCO-style mAP against GT boxes.
+
+Reference: det/yolox/tools/main_yolox.py --eval-only ->
+yolox_coco_evaluator.convert_to_coco_format_bop (the stage-1 -> stage-2
+handoff, SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--root", default="datasets/BOP_DATASETS")
+    ap.add_argument("--split", default="test")
+    ap.add_argument("--size", default="yolox_x")
+    ap.add_argument("--input-size", type=int, default=640)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--conf-thr", type=float, default=0.01)
+    ap.add_argument("--nms-thr", type=float, default=0.65)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gdrnpp_bop2022_tpu.datasets.meta import get_meta
+    from gdrnpp_bop2022_tpu.datasets.bop_data import (index_bop_split,
+                                                      load_image)
+    from gdrnpp_bop2022_tpu.models.yolox import build_yolox
+    from gdrnpp_bop2022_tpu.models.yolox.head import flatten_outputs
+    from gdrnpp_bop2022_tpu.models.yolox.yolox import postprocess_nms
+    from gdrnpp_bop2022_tpu.eval.detection_eval import (
+        detections_to_bop_json, coco_map)
+    from gdrnpp_bop2022_tpu.bop.inout import save_json
+
+    meta = get_meta(args.dataset)
+    out_dir = args.out or f"output/yolox/{meta.name}"
+    os.makedirs(out_dir, exist_ok=True)
+    records = index_bop_split(os.path.join(args.root, meta.name, args.split),
+                              meta)
+    by_img = {}
+    for r in records:
+        by_img.setdefault(r.scene_im_id, {"path": r.rgb_path,
+                                          "instances": []})
+        by_img[r.scene_im_id]["instances"].append(r)
+
+    model = build_yolox(meta.num_classes, args.size)
+    S = args.input_size
+    params = None
+    if args.ckpt:
+        from gdrnpp_bop2022_tpu.engine.checkpoint import CheckpointManager
+        from gdrnpp_bop2022_tpu.engine import create_train_state
+        import optax
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, S, S, 3)))
+        state = create_train_state(model.apply, variables["params"],
+                                   optax.sgd(1e-3))
+        restored = CheckpointManager(args.ckpt).restore_latest(state)
+        assert restored is not None
+        params = restored.ema_params
+
+    @jax.jit
+    def infer(params, img):
+        outs = model.apply({"params": params}, img)
+        flat, grids, st = flatten_outputs(outs, (8, 16, 32))
+        return postprocess_nms(flat, grids, st, conf_thr=args.conf_thr,
+                               nms_thr=args.nms_thr)
+
+    import cv2
+    per_image, scales, gts, dets_eval = {}, {}, {}, {}
+    for key, entry in sorted(by_img.items()):
+        img = load_image(entry["path"])
+        H, W = img.shape[:2]
+        r = min(S / H, S / W)
+        canvas = np.full((S, S, 3), 114, np.uint8)
+        rs = cv2.resize(img, (int(W * r), int(H * r)))
+        canvas[:rs.shape[0], :rs.shape[1]] = rs
+        if params is None:
+            variables = model.init(jax.random.PRNGKey(0),
+                                   jnp.asarray(canvas)[None].astype(jnp.float32))
+            params = variables["params"]
+        t0 = time.perf_counter()
+        det = infer(params, jnp.asarray(canvas)[None].astype(jnp.float32))
+        det = jax.device_get(det)
+        dt = time.perf_counter() - t0
+        per_image[key] = {k: v[0] for k, v in det.items()}
+        per_image[key]["time"] = dt
+        scales[key] = r
+        gts[key] = [{"bbox_xyxy": rec.bbox_visib, "label": rec.label}
+                    for rec in entry["instances"] if rec.bbox_visib is not None]
+        v = per_image[key]
+        dets_eval[key] = [
+            {"bbox_xyxy": v["boxes_xyxy"][i] / r, "label": int(v["labels"][i]),
+             "score": float(v["scores"][i])}
+            for i in np.nonzero(np.asarray(v["valid"])
+                                & (np.asarray(v["scores"]) > 0))[0]]
+
+    handoff = detections_to_bop_json(per_image, meta.label_to_obj_id(),
+                                     scale_factors=scales)
+    out_json = os.path.join(out_dir, f"yolox_{meta.name}_{args.split}_bboxes.json")
+    save_json(out_json, handoff)
+    print(f"wrote handoff json: {out_json} ({len(handoff)} images)")
+    m = coco_map(dets_eval, gts, meta.num_classes)
+    print(f"mAP {m['mAP']:.4f}  AP50 {m['AP50']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""GDRN training CLI.
+
+Reference interface: core/gdrn_modeling/main_gdrn.py + train_gdrn.sh
+(`train_gdrn.sh <config> <gpu_ids> [--opts ...]`). Here:
+
+    python tools/train_gdrn.py --config configs/gdrn/ycbv_convnext_base.py \
+        [--opts solver.base_lr=1e-4 ...] [--resume] [--eval-only]
+
+Config files are python modules exporting `cfg` (a
+gdrnpp_bop2022_tpu.config.Config); --opts applies dotted-key overrides.
+Device selection is automatic (all visible TPU chips form the data mesh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def load_config(path: str):
+    spec = importlib.util.spec_from_file_location("user_config", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--opts", nargs="*", default=[])
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--max-iters", type=int, default=None)
+    args = ap.parse_args()
+
+    from gdrnpp_bop2022_tpu.config import parse_opts, replace_cfg
+    cfg = load_config(args.config)
+    if args.opts:
+        cfg = replace_cfg(cfg, parse_opts(args.opts))
+    os.makedirs(cfg.output_dir, exist_ok=True)
+
+    from gdrnpp_bop2022_tpu.datasets.meta import get_meta
+    from gdrnpp_bop2022_tpu.datasets.bop_data import index_bop_split
+    from gdrnpp_bop2022_tpu.bop.models3d import ModelBank
+
+    meta = get_meta(cfg.datasets.train[0] if not args.eval_only
+                    else cfg.datasets.test[0])
+    models_dir = meta.models_dir(cfg.datasets.root)
+    bank = ModelBank.from_bop_models_dir(
+        models_dir, num_fps=cfg.model.pose_net.geo_head.num_regions)
+
+    if args.eval_only:
+        from tools.test_gdrn import run_eval  # noqa
+        run_eval(cfg, meta, bank)
+        return
+
+    def records_for(names):
+        recs = []
+        for name in names:
+            split = name.split("_", 1)[1] if "_" in name else "train"
+            split_dir = os.path.join(cfg.datasets.root, meta.name,
+                                     split.replace("train_", "train_"))
+            # BOP layout: train_pbr / train_real / test
+            cand = os.path.join(cfg.datasets.root, meta.name, split)
+            if os.path.isdir(cand):
+                split_dir = cand
+            recs.extend(index_bop_split(
+                split_dir, meta, visib_thr=cfg.datasets.filter_visib_thr,
+                cache_path=os.path.join(cfg.output_dir, f"index_{name}.pkl")))
+        return recs
+
+    records = records_for(cfg.datasets.train)
+    records2 = records_for(cfg.datasets.train2) if cfg.datasets.train2 else None
+
+    from gdrnpp_bop2022_tpu.engine.trainer import train_gdrn
+    train_gdrn(cfg, records, bank, records2=records2,
+               max_iters=args.max_iters, resume=args.resume, meta=meta)
+
+
+if __name__ == "__main__":
+    main()
