@@ -133,6 +133,17 @@ def build_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
         tx = optax.lamb(lr_schedule, weight_decay=sc.weight_decay)
     elif name == "radam":
         tx = optax.radam(lr_schedule)
+    elif name == "adabelief":
+        from .optimizers import adabelief
+        tx = adabelief(lr_schedule, weight_decay=sc.weight_decay)
+    elif name == "madgrad":
+        from .optimizers import madgrad
+        tx = madgrad(lr_schedule, momentum=sc.momentum,
+                     weight_decay=sc.weight_decay)
+    elif name == "sgd_gc":
+        from .optimizers import sgd_gc
+        tx = sgd_gc(lr_schedule, momentum=sc.momentum,
+                    weight_decay=sc.weight_decay)
     else:
         raise ValueError(f"unknown optimizer {sc.optimizer}")
 
