@@ -32,11 +32,15 @@ def iter_test_batches(
     detections: Dict[str, list],       # scene_im_id -> [det dicts]
     batch_size: int = 64,
     image_cache_size: int = 64,
+    with_depth: bool = False,
+    depth_factor: float = 1000.0,
 ) -> Iterator[dict]:
     """Yields host batches:
       images (M, H, W, 3) uint8, img_idx (B,), boxes_xyxy (B, 4),
       Ks (B, 3, 3), labels (B,), scores (B,), valid (B,) bool,
-      metas: list[RoiMeta] length B (padding rows repeat the last real ROI).
+      metas: list[RoiMeta] length B (padding rows repeat the last real ROI);
+      with_depth also yields depths (M, H, W) in meters (zeros when a depth
+      file is missing).
     """
     keys = [k for k in images_index if k in detections]
     keys.sort(key=lambda k: (images_index[k]["scene_id"], images_index[k]["im_id"]))
@@ -44,10 +48,11 @@ def iter_test_batches(
     pend_rois: List[dict] = []
     pend_metas: List[RoiMeta] = []
     pend_imgs: List[np.ndarray] = []
+    pend_depths: List[np.ndarray] = []
     pend_img_ids: Dict[str, int] = {}
 
     def flush():
-        nonlocal pend_rois, pend_metas, pend_imgs, pend_img_ids
+        nonlocal pend_rois, pend_metas, pend_imgs, pend_depths, pend_img_ids
         if not pend_rois:
             return None
         B = batch_size
@@ -64,7 +69,10 @@ def iter_test_batches(
             "valid": np.array([i < n for i in range(B)], bool),
             "metas": metas,
         }
-        pend_rois, pend_metas, pend_imgs, pend_img_ids = [], [], [], {}
+        if with_depth:
+            batch["depths"] = np.stack(pend_depths)
+        pend_rois, pend_metas, pend_imgs, pend_depths, pend_img_ids = \
+            [], [], [], [], {}
         return batch
 
     for key in keys:
@@ -78,17 +86,30 @@ def iter_test_batches(
                 yield out
         if key not in pend_img_ids:
             pend_img_ids[key] = len(pend_imgs)
-            pend_imgs.append(load_image(entry["rgb_path"]))
+            img = load_image(entry["rgb_path"])
+            pend_imgs.append(img)
+            if with_depth:
+                from .bop_data import load_depth
+                dp = entry.get("depth_path")
+                if dp:
+                    d = load_depth(dp, entry.get("depth_scale", 1.0),
+                                   depth_factor)
+                else:
+                    d = np.zeros(img.shape[:2], np.float32)
+                pend_depths.append(d)
         gi = pend_img_ids[key]
         for det in dets:
             if len(pend_rois) >= batch_size:
                 # single image with more ROIs than batch: flush mid-image
                 img = pend_imgs[gi]
+                dep = pend_depths[gi] if with_depth else None
                 out = flush()
                 if out is not None:
                     yield out
                 pend_img_ids[key] = 0
                 pend_imgs.append(img)
+                if with_depth:
+                    pend_depths.append(dep)
                 gi = 0
             pend_rois.append({
                 "img_idx": gi,

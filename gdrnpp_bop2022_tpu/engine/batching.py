@@ -27,7 +27,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.crop import affine_grid_from_boxes, roi_crop_resize, _bilinear_sample, _nearest_sample
+from ..ops.crop import (affine_grid_from_boxes, roi_crop_resize,
+                        roi_crop_resize_mxu)
 from ..ops.rasterizer import render_depth_xyz_batch
 from ..ops.region import xyz_to_region
 from ..geometry.camera import centered_crop_K
@@ -57,9 +58,11 @@ def compute_test_rois(
     pixel_mean,
     pixel_std,
 ):
-    """Batched test-time ROI crops + coord-2d."""
+    """Batched test-time ROI crops + coord-2d. The image crop runs as two
+    MXU matmuls (ops.crop.roi_crop_resize_mxu) — far faster on TPU than the
+    gather formulation for RGB crops."""
     imgs = _gather_images(images, img_idx).astype(jnp.float32)
-    roi_img = roi_crop_resize(imgs, centers, scales, input_res)
+    roi_img = roi_crop_resize_mxu(imgs, centers, scales, input_res)
     mean = jnp.asarray(pixel_mean, jnp.float32)
     std = jnp.asarray(pixel_std, jnp.float32)
     roi_img = (roi_img - mean) / std

@@ -28,12 +28,30 @@ def run_gdrn_inference(
     output_res: int = 64,
     pixel_mean=(0.0, 0.0, 0.0),
     pixel_std=(255.0, 255.0, 255.0),
+    post_mode: str = "direct",      # direct | ransac_pnp | uncertainty_pnp
+                                    # | depth_refine
+    model_bank=None,                # ModelBank, needed for depth_refine
+    depth_refine_iters: int = 2,
+    depth_refine_threshold: float = 0.8,
+    mask_loss_type: str = "L1",
 ) -> List[dict]:
     """Run pose inference over all test batches; returns BOP result rows
-    (R (3,3), t in meters — CSV conversion to mm happens at save time)."""
+    (R (3,3), t in meters — CSV conversion to mm happens at save time).
+
+    post_mode selects the evaluator post-processing (reference
+    GDRN_Evaluator.process branches gdrn_evaluator.py:180/241/373/461):
+    PnP modes re-solve the pose from the dense XYZ prediction; depth_refine
+    corrects translation against the sensor depth (batches must carry
+    "depths": (M, H, W) meters).
+    """
     extents = jnp.asarray(extents_bank)
     mean = tuple(pixel_mean)
     std = tuple(pixel_std)
+    want_dense = post_mode != "direct"
+    if post_mode == "depth_refine":
+        assert model_bank is not None, "depth_refine needs the model bank"
+        bank_verts = jnp.asarray(model_bank.verts)
+        bank_faces = jnp.asarray(model_bank.faces)
 
     @jax.jit
     def step(params, images, img_idx, boxes, Ks, labels):
@@ -42,22 +60,95 @@ def run_gdrn_inference(
             input_res=input_res, output_res=output_res,
             pixel_mean=mean, pixel_std=std)
         out = model_apply(params, batch)
-        return out["rot"], out["trans"]
+        rot, trans = out["rot"], out["trans"]
+        if want_dense:
+            from ..models.gdrn import get_mask_prob
+
+            def decode_coor(c):
+                # binned coords -> argmax bin / (bins-1), bg bin -> 0
+                # (reference get_out_coor, engine_utils.py:295-312)
+                if c.shape[-1] == 1:
+                    return c[..., 0]
+                n_bins = c.shape[-1] - 1
+                idx = jnp.argmax(c, axis=-1)
+                val = idx.astype(jnp.float32) / max(n_bins - 1, 1)
+                return jnp.where(idx == n_bins, 0.0, val)
+
+            xyz = jnp.stack([decode_coor(out["coor_x"]),
+                             decode_coor(out["coor_y"]),
+                             decode_coor(out["coor_z"])], axis=-1)
+            mask_prob = get_mask_prob(out["vis_mask"][..., None],
+                                      mask_loss_type)[..., 0]
+            extra = {"xyz": xyz, "mask_prob": mask_prob,
+                     "coord_2d": batch["roi_coord_2d"],
+                     "centers": batch["roi_centers"],
+                     "scales": output_res / batch["resize_ratios"]}
+        else:
+            extra = {}
+        return rot, trans, extra
+
+    @jax.jit
+    def post_pnp(extra, Ks, labels, im_wh, rot, trans, key):
+        from ..eval.pnp_eval import (pose_from_dense_ransac,
+                                     pose_from_dense_uncertainty)
+        ext = jnp.take(extents, labels, axis=0)
+        if post_mode == "ransac_pnp":
+            R, t, _ = pose_from_dense_ransac(
+                key, extra["mask_prob"], extra["xyz"], extra["coord_2d"],
+                im_wh, ext, Ks)
+        else:
+            R, t = pose_from_dense_uncertainty(
+                extra["mask_prob"], extra["xyz"], extra["coord_2d"],
+                im_wh, ext, Ks, R0=rot, t0=trans)
+        return R, t
+
+    @jax.jit
+    def post_depth(extra, depths, depth_idx, Ks, labels, rot, trans):
+        from ..eval.pnp_eval import depth_refine_batch
+        from ..ops.crop import roi_crop_resize
+        ext = jnp.take(extents, labels, axis=0)
+        d_imgs = jnp.take(depths, depth_idx, axis=0)
+        d_crop = roi_crop_resize(d_imgs[..., None], extra["centers"],
+                                 extra["scales"], output_res,
+                                 method="nearest")[..., 0]
+        t_ref = depth_refine_batch(
+            rot, trans, extra["mask_prob"], extra["xyz"], d_crop, Ks,
+            extra["centers"], extra["scales"],
+            jnp.take(bank_verts, labels, axis=0),
+            jnp.take(bank_faces, labels, axis=0), ext,
+            iters=depth_refine_iters, threshold=depth_refine_threshold,
+            out_res=output_res)
+        return t_ref
 
     results = []
     per_image_rows: Dict[tuple, list] = {}
     n_instances = 0
     total_compute = 0.0
     warmed = False
+    rng = jax.random.PRNGKey(0)
     for batch in batches:
         t0 = time.perf_counter()
-        rot, trans = step(
+        Ks_j = jnp.asarray(batch["Ks"])
+        labels_j = jnp.asarray(batch["labels"])
+        rot, trans, extra = step(
             params,
             jnp.asarray(batch["images"]),
             jnp.asarray(batch["img_idx"]),
             jnp.asarray(batch["boxes_xyxy"]),
-            jnp.asarray(batch["Ks"]),
-            jnp.asarray(batch["labels"]))
+            Ks_j,
+            labels_j)
+        if post_mode in ("ransac_pnp", "uncertainty_pnp"):
+            im_h, im_w = batch["images"].shape[1:3]
+            im_wh = jnp.broadcast_to(
+                jnp.asarray([im_w, im_h], jnp.float32),
+                (rot.shape[0], 2))
+            rng, k = jax.random.split(rng)
+            rot, trans = post_pnp(extra, Ks_j, labels_j, im_wh, rot, trans, k)
+        elif post_mode == "depth_refine":
+            assert "depths" in batch, "test batches must carry depth images"
+            trans = post_depth(extra, jnp.asarray(batch["depths"]),
+                               jnp.asarray(batch["img_idx"]),
+                               Ks_j, labels_j, rot, trans)
         rot = np.asarray(jax.block_until_ready(rot))
         trans = np.asarray(trans)
         dt = time.perf_counter() - t0

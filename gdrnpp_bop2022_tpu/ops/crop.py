@@ -70,6 +70,47 @@ def _nearest_sample(img: jax.Array, grid: jax.Array) -> jax.Array:
     return jnp.where(valid[..., None], v, 0.0)
 
 
+def _interp_matrix(src: jax.Array, size: int) -> jax.Array:
+    """Bilinear interpolation weights as a dense matrix.
+
+    src: (B, R) fractional source coordinates per output index.
+    Returns (B, R, size) where row r holds the two-tap hat weights around
+    src[b, r]; out-of-range coordinates get all-zero rows (border = 0,
+    matching the gather path's borderValue semantics).
+    """
+    grid = jnp.arange(size, dtype=src.dtype)                  # (size,)
+    d = src[..., None] - grid[None, None, :]                  # (B, R, size)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    inb = (src >= -1.0) & (src <= size)                       # hat support
+    return w * inb[..., None]
+
+
+def roi_crop_resize_mxu(imgs: jax.Array, centers: jax.Array,
+                        scales: jax.Array, out_res: int) -> jax.Array:
+    """Bilinear ROI crop-resize as two MXU matmuls.
+
+    TPU-first reformulation of the gather-based bilinear crop: an
+    axis-aligned affine resample is separable, so the crop equals
+    ``Ry @ img @ Cx^T`` with per-ROI sparse-in-theory (2-tap) row/column
+    interpolation matrices materialized densely. The gathers the VPU would
+    grind through become dense contractions the MXU eats — the standard
+    resize-as-matmul trick XLA cannot discover on its own.
+
+    Numerically identical (up to fp) to roi_crop_resize(..., "bilinear").
+    """
+    B, H, W, C = imgs.shape
+    grid_info_x = centers[:, 0:1] + (jnp.arange(out_res, dtype=jnp.float32)[None, :]
+                                     - out_res * 0.5) * (scales[:, None] / out_res)
+    grid_info_y = centers[:, 1:2] + (jnp.arange(out_res, dtype=jnp.float32)[None, :]
+                                     - out_res * 0.5) * (scales[:, None] / out_res)
+    Ry = _interp_matrix(grid_info_y, H)                       # (B, R, H)
+    Cx = _interp_matrix(grid_info_x, W)                       # (B, R, W)
+    tmp = jnp.einsum("brh,bhwc->brwc", Ry, imgs.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("bqw,brwc->brqc", Cx, tmp,
+                      preferred_element_type=jnp.float32)
+
+
 def roi_crop_resize(imgs: jax.Array, centers: jax.Array, scales: jax.Array,
                     out_res: int, method: str = "bilinear") -> jax.Array:
     """Crop square ROIs (center/scale) from full images and resize.

@@ -218,3 +218,54 @@ def test_full_inference_pipeline(synth_bop, tmp_path):
     # scoring runs end-to-end on (random) predictions
     scores = score_bop_results(results, synth_bop["gt_rows"], bank, im_width=W)
     assert "AR" in scores and 0.0 <= scores["AR"] <= 1.0
+
+
+@pytest.mark.parametrize("post_mode", ["ransac_pnp", "uncertainty_pnp",
+                                       "depth_refine"])
+def test_inference_post_modes(synth_bop, post_mode):
+    """Evaluator post-processing branches run end-to-end (reference
+    GDRN_Evaluator.process USE_PNP / USE_DEPTH_REFINE paths)."""
+    from gdrnpp_bop2022_tpu.config import Config, replace_cfg
+    from gdrnpp_bop2022_tpu.models import build_gdrn
+    from gdrnpp_bop2022_tpu.engine.inference import run_gdrn_inference
+    from gdrnpp_bop2022_tpu.engine.batching import build_test_batch
+    import jax.numpy as jnp
+
+    meta = synth_bop["meta"]
+    bank = synth_bop["bank"]
+    cfg = replace_cfg(Config(), {
+        "model.pose_net.num_classes": 2,
+        "model.pose_net.input_res": 64,
+        "model.pose_net.output_res": 16,
+        "model.pose_net.backbone.name": "convnext_tiny",
+        "model.pose_net.geo_head.feat_dim": 32,
+        "model.pose_net.geo_head.num_gn_groups": 8,
+        "model.pose_net.geo_head.num_regions": 8,
+        "model.pose_net.pnp_net.featdim": 32,
+        "model.pose_net.pnp_net.num_gn_groups": 8,
+        "model.compute_dtype": "float32",
+    })
+    records = index_bop_split(str(synth_bop["root"] / "test"), meta)
+    by_im = make_records_by_image(records)
+    dets = load_detections(str(synth_bop["det_file"]), meta)
+    batches = list(iter_test_batches(by_im, dets, batch_size=4,
+                                     with_depth=post_mode == "depth_refine",
+                                     depth_factor=meta.depth_factor))
+    model = build_gdrn(cfg)
+    b0 = batches[0]
+    init_batch = build_test_batch(
+        jnp.asarray(b0["images"]), jnp.asarray(b0["img_idx"]),
+        jnp.asarray(b0["boxes_xyxy"]), jnp.asarray(b0["Ks"]),
+        jnp.asarray(b0["labels"]), jnp.asarray(bank.extents),
+        input_res=64, output_res=16)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, **init_batch)
+
+    def apply_fn(params, batch):
+        return model.apply({"params": params}, **batch)
+
+    results = run_gdrn_inference(
+        apply_fn, variables["params"], batches, bank.extents,
+        input_res=64, output_res=16, post_mode=post_mode, model_bank=bank)
+    assert len(results) == 6
+    for r in results:
+        assert np.isfinite(r["t"]).all() and np.isfinite(r["R"]).all()

@@ -99,3 +99,16 @@ def test_xyz_to_region_matches_cdist():
     ref = cdist(xyz[0].reshape(-1, 3), fps[0]).argmin(1).reshape(8, 8) + 1
     ref = ref * mask.astype(np.int64)
     np.testing.assert_array_equal(got[0], ref)
+
+
+def test_mxu_crop_matches_gather_crop():
+    from gdrnpp_bop2022_tpu.ops.crop import roi_crop_resize_mxu
+    rs = np.random.RandomState(5)
+    imgs = rs.uniform(0, 255, (3, 60, 80, 3)).astype(np.float32)
+    centers = np.array([[40.0, 30.0], [10.0, 50.0], [75.0, 5.0]], np.float32)
+    scales = np.array([48.0, 30.0, 64.0], np.float32)
+    a = np.asarray(roi_crop_resize(jnp.asarray(imgs), jnp.asarray(centers),
+                                   jnp.asarray(scales), 16))
+    b = np.asarray(roi_crop_resize_mxu(jnp.asarray(imgs), jnp.asarray(centers),
+                                       jnp.asarray(scales), 16))
+    np.testing.assert_allclose(a, b, atol=1e-3)

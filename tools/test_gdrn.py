@@ -74,11 +74,26 @@ def run_eval(cfg, meta, bank, ckpt_dir=None):
     def apply_fn(p, batch):
         return model.apply({"params": p}, **batch)
 
-    batches = iter_test_batches(by_im, dets, batch_size=64)
+    # post-processing mode (reference GDRN_Evaluator.process branches)
+    if cfg.val.use_depth_refine:
+        post_mode = "depth_refine"
+    elif cfg.val.use_pnp:
+        post_mode = ("uncertainty_pnp" if cfg.val.pnp_type == "uncertainty_pnp"
+                     else "ransac_pnp")
+    else:
+        post_mode = "direct"
+
+    batches = iter_test_batches(by_im, dets, batch_size=64,
+                                with_depth=post_mode == "depth_refine",
+                                depth_factor=meta.depth_factor)
     results = run_gdrn_inference(
         apply_fn, params, batches, bank.extents,
         input_res=pc.input_res, output_res=pc.output_res,
-        pixel_mean=cfg.model.pixel_mean, pixel_std=cfg.model.pixel_std)
+        pixel_mean=cfg.model.pixel_mean, pixel_std=cfg.model.pixel_std,
+        post_mode=post_mode, model_bank=bank,
+        depth_refine_iters=cfg.val.depth_refine_iters,
+        depth_refine_threshold=cfg.val.depth_refine_threshold,
+        mask_loss_type=cfg.model.pose_net.loss.mask_loss_type)
 
     out_dir = os.path.join(cfg.output_dir, "inference", test_name)
     os.makedirs(out_dir, exist_ok=True)
