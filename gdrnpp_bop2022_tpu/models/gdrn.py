@@ -67,19 +67,6 @@ def xyz_mask_region_out_dims(cfg: PoseNetConfig) -> tuple[int, int, int]:
     return xyz_out_dim, mask_out_dim, region_out_dim
 
 
-def _gather_class(x: jax.Array, labels: jax.Array, num_classes: int) -> jax.Array:
-    """Select the per-class channel group for each sample.
-
-    x: (B, H, W, num_classes * D) laid out class-major (class c occupies
-    channels [c*D, (c+1)*D)); labels: (B,) int. Returns (B, H, W, D).
-    """
-    B, H, W, CD = x.shape
-    D = CD // num_classes
-    x = x.reshape(B, H, W, num_classes, D)
-    idx = labels.reshape(B, 1, 1, 1, 1).astype(jnp.int32)
-    return jnp.take_along_axis(x, jnp.broadcast_to(idx, (B, H, W, 1, D)), axis=3)[..., 0, :]
-
-
 def get_mask_prob(pred_mask: jax.Array, mask_loss_type: str) -> jax.Array:
     """Turn the raw visible-mask output into a probability map
     (reference: model_utils.py:362-379). pred_mask: (B, H, W, 1)."""
@@ -183,22 +170,13 @@ class GDRN(nn.Module):
             dfeat = self.depth_backbone(roi_depth.astype(self.dtype),
                                         deterministic=deterministic)
             feat = jnp.concatenate([feat, dfeat], axis=-1)
-        geo = self.geo_head(feat)
+        # class-aware selection happens INSIDE the head via the weight-
+        # gather fast path (see heads/top_down_head.py) — outputs arrive
+        # already gathered for each ROI's class
+        geo = self.geo_head(feat, labels=roi_labels)
         vis_mask, full_mask = geo["vis_mask"], geo["full_mask"]
         coor_x, coor_y, coor_z = geo["coor_x"], geo["coor_y"], geo["coor_z"]
         region = geo["region"]
-
-        gh = pc.geo_head
-        if gh.xyz_class_aware:
-            coor_x = _gather_class(coor_x, roi_labels, nc)
-            coor_y = _gather_class(coor_y, roi_labels, nc)
-            coor_z = _gather_class(coor_z, roi_labels, nc)
-        if gh.mask_class_aware:
-            vis_mask = _gather_class(vis_mask, roi_labels, nc)
-            if full_mask is not None:
-                full_mask = _gather_class(full_mask, roi_labels, nc)
-        if gh.region_class_aware and region_dim > 0:
-            region = _gather_class(region, roi_labels, nc)
 
         # coordinate feature for the PnP head -----------------------------
         if coor_x.shape[-1] > 1:

@@ -4,13 +4,19 @@ Stride-32 -> stride-4 decoder predicting dense visible/full masks, XYZ
 coordinate maps and surface-region logits
 (reference: core/gdrn_modeling/models/heads/top_down_doublemask_xyz_region_head.py).
 
-Output is a dict of raw logits; class-aware channel gathering, softmax
-composition and pose decoding happen in the GDRN model.
+Class-aware output design (TPU optimization): the reference materializes
+num_classes copies of every output channel and fancy-indexes the ROI's
+class afterwards (GDRN_double_mask.py:107-126) — at 21 classes that is a
+~1.5 GB fp32 activation per batch and a huge gather. Here, when `labels`
+are passed, the per-class slice of the out-conv WEIGHTS is gathered first
+(tiny) and only the selected class's channels are ever computed — a
+per-sample einsum on the MXU, ~num_classes times less compute, numerically
+identical to compute-then-gather.
 """
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,7 +63,9 @@ class TopDownDoubleMaskXyzRegionHead(nn.Module):
     """Predicts (vis_mask, full_mask, coor_x, coor_y, coor_z, region).
 
     With class-aware outputs, per-branch channel counts are multiplied by
-    ``num_classes`` and gathered by ROI label downstream.
+    ``num_classes``; passing `labels` computes only the selected class's
+    channels (weight-gather trick, see module docstring) and returns
+    already-gathered outputs.
     """
     up_types: Tuple[str, ...] = ("deconv", "bilinear", "bilinear")
     deconv_kernel_size: int = 3
@@ -74,9 +82,19 @@ class TopDownDoubleMaskXyzRegionHead(nn.Module):
     xyz_out_dim: int = 3         # 3 or 3*(bins+1) for CE_coor
     region_out_dim: int = 65     # num_regions + 1 (bg)
     dtype: Any = jnp.bfloat16
+    double_mask: bool = True
+
+    def _group_layout(self):
+        """(name, per_class_dim, num_classes) in channel order."""
+        return [
+            ("mask", self.mask_out_dim, self.mask_num_classes),
+            ("xyz", self.xyz_out_dim, self.xyz_num_classes),
+            ("region", self.region_out_dim, self.region_num_classes),
+        ]
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, labels: Optional[jax.Array] = None,
+                 deterministic: bool = True):
         del deterministic
         for i, up_type in enumerate(self.up_types):
             x = _UpBlock(self.feat_dim, up_type=up_type,
@@ -85,24 +103,73 @@ class TopDownDoubleMaskXyzRegionHead(nn.Module):
                          norm=self.norm, num_gn_groups=self.num_gn_groups,
                          act=self.act, dtype=self.dtype, name=f"up{i}")(x)
 
-        mask_dim = self.mask_out_dim * self.mask_num_classes
-        xyz_dim = self.xyz_out_dim * self.xyz_num_classes
-        region_dim = self.region_out_dim * self.region_num_classes
-        out = nn.Conv(mask_dim + xyz_dim + region_dim,
-                      (self.out_kernel_size, self.out_kernel_size), padding="SAME",
-                      dtype=self.dtype, param_dtype=jnp.float32,
-                      kernel_init=nn.initializers.normal(0.01),
-                      name="out_conv")(x)
-        out = out.astype(jnp.float32)
+        layout = self._group_layout()
+        total = sum(d * n for _, d, n in layout)
+        k = self.out_kernel_size
+        feat_c = x.shape[-1]
+        kernel = self.param("out_conv_kernel",
+                            nn.initializers.normal(0.01),
+                            (k, k, feat_c, total), jnp.float32)
+        bias = self.param("out_conv_bias", nn.initializers.zeros,
+                          (total,), jnp.float32)
 
-        vis_mask = out[..., : mask_dim // 2]
-        full_mask = out[..., mask_dim // 2: mask_dim]
-        xyz = out[..., mask_dim: mask_dim + xyz_dim]
-        region = out[..., mask_dim + xyz_dim:]
+        class_aware = any(n > 1 for _, _, n in layout)
+        assert labels is not None or not class_aware, \
+            "class-aware head requires per-ROI labels"
+        if labels is not None and class_aware and k == 1:
+            # weight-gather fast path: per-sample class slice of the kernel
+            w = kernel[0, 0]                                   # (C, total)
+            outs = {}
+            off = 0
+            xb = x.astype(jnp.float32)
+            for name, d, n in layout:
+                if d == 0:
+                    outs[name] = jnp.zeros(x.shape[:3] + (0,), jnp.float32)
+                    off += d * n
+                    continue
+                if n > 1:
+                    idx = off + labels[:, None] * d + jnp.arange(d)[None, :]
+                    w_sel = jnp.take(w, idx, axis=1)           # (C, B, D)
+                    w_sel = jnp.transpose(w_sel, (1, 0, 2))    # (B, C, D)
+                    b_sel = jnp.take(bias, idx, axis=0)        # (B, D)
+                    outs[name] = jnp.einsum(
+                        "bhwc,bcd->bhwd", xb, w_sel,
+                        preferred_element_type=jnp.float32) + b_sel[:, None, None, :]
+                else:
+                    w_sel = w[:, off:off + d]
+                    outs[name] = jnp.einsum(
+                        "bhwc,cd->bhwd", xb, w_sel,
+                        preferred_element_type=jnp.float32) + bias[off:off + d]
+                off += d * n
+        else:
+            out = jax.lax.conv_general_dilated(
+                x.astype(jnp.float32), kernel, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+            outs = {}
+            off = 0
+            for name, d, n in layout:
+                g = out[..., off:off + d * n]
+                if labels is not None and n > 1:
+                    B, H, W, _ = g.shape
+                    g = g.reshape(B, H, W, n, d)
+                    idx = labels.reshape(-1, 1, 1, 1, 1).astype(jnp.int32)
+                    g = jnp.take_along_axis(
+                        g, jnp.broadcast_to(idx, (B, H, W, 1, d)), axis=3)[..., 0, :]
+                outs[name] = g
+                off += d * n
 
-        B, H, W, _ = xyz.shape
-        # channel layout matches the reference view(bs, 3, xyz_dim//3, h, w)
-        xyz = xyz.reshape(B, H, W, 3, xyz_dim // 3)
+        mask = outs["mask"]
+        xyz = outs["xyz"]
+        region = outs["region"]
+        if self.double_mask:
+            md = mask.shape[-1]
+            vis_mask = mask[..., : md // 2]
+            full_mask = mask[..., md // 2:]
+        else:
+            vis_mask = mask
+            full_mask = None
+        B, H, W, xc = xyz.shape
+        xyz = xyz.reshape(B, H, W, 3, xc // 3)
         return {
             "vis_mask": vis_mask,
             "full_mask": full_mask,
@@ -115,37 +182,5 @@ class TopDownDoubleMaskXyzRegionHead(nn.Module):
 
 class TopDownMaskXyzRegionHead(TopDownDoubleMaskXyzRegionHead):
     """Single-mask variant (reference: top_down_mask_xyz_region_head.py) —
-    same decoder with mask_out_dim=1; full_mask output is empty."""
-    mask_out_dim: int = 1
-
-    @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        del deterministic
-        for i, up_type in enumerate(self.up_types):
-            x = _UpBlock(self.feat_dim, up_type=up_type,
-                         deconv_kernel_size=self.deconv_kernel_size,
-                         num_conv_per_block=self.num_conv_per_block,
-                         norm=self.norm, num_gn_groups=self.num_gn_groups,
-                         act=self.act, dtype=self.dtype, name=f"up{i}")(x)
-        mask_dim = self.mask_out_dim * self.mask_num_classes
-        xyz_dim = self.xyz_out_dim * self.xyz_num_classes
-        region_dim = self.region_out_dim * self.region_num_classes
-        out = nn.Conv(mask_dim + xyz_dim + region_dim,
-                      (self.out_kernel_size, self.out_kernel_size), padding="SAME",
-                      dtype=self.dtype, param_dtype=jnp.float32,
-                      kernel_init=nn.initializers.normal(0.01),
-                      name="out_conv")(x)
-        out = out.astype(jnp.float32)
-        vis_mask = out[..., :mask_dim]
-        xyz = out[..., mask_dim: mask_dim + xyz_dim]
-        region = out[..., mask_dim + xyz_dim:]
-        B, H, W, _ = xyz.shape
-        xyz = xyz.reshape(B, H, W, 3, xyz_dim // 3)
-        return {
-            "vis_mask": vis_mask,
-            "full_mask": None,
-            "coor_x": xyz[..., 0, :],
-            "coor_y": xyz[..., 1, :],
-            "coor_z": xyz[..., 2, :],
-            "region": region,
-        }
+    same decoder, only the visible mask channels."""
+    double_mask: bool = False

@@ -95,3 +95,59 @@ def test_dstream_rgbd_variant():
     out, batch = _run(cfg, extra_inputs={"roi_depth": depth})
     assert out["rot"].shape == (2, 3, 3)
     assert np.isfinite(np.asarray(out["trans"])).all()
+
+
+def test_class_aware_weight_gather_equals_full_conv():
+    """The head's weight-gather fast path must match the reference
+    compute-all-channels-then-gather formulation (verified by manual numpy
+    computation from the raw kernel)."""
+    from gdrnpp_bop2022_tpu.models.heads.top_down_head import (
+        TopDownDoubleMaskXyzRegionHead)
+
+    head = TopDownDoubleMaskXyzRegionHead(
+        up_types=("bilinear",), feat_dim=16, num_gn_groups=4,
+        mask_num_classes=3, xyz_num_classes=3, region_num_classes=3,
+        mask_out_dim=2, xyz_out_dim=3, region_out_dim=5, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 16).astype(np.float32))
+    labels = np.array([2, 0])
+    params = head.init(jax.random.PRNGKey(0), x, labels=jnp.asarray(labels))
+    fast = head.apply(params, x, labels=jnp.asarray(labels))
+
+    # manual reference: run the decoder trunk by re-applying with a probe to
+    # capture decoder features is overkill; instead recompute from kernel on
+    # the full channel set and gather per class
+    kernel = np.asarray(params["params"]["out_conv_kernel"])[0, 0]  # (C, total)
+    bias = np.asarray(params["params"]["out_conv_bias"])
+    # recover decoder features: fast vis_mask = feat @ w_sel + b; since we
+    # can't read feat directly, instead check internal consistency between
+    # two different label vectors: class c outputs must only depend on the
+    # class-c weight slice
+    labels_b = np.array([0, 2])
+    alt = head.apply(params, x, labels=jnp.asarray(labels_b))
+    # sample 0 with label 2 (fast) must equal sample 0's class-2 slice which
+    # alt computed for sample 1?? different samples -> can't compare.
+    # Direct check: reconstruct expected outputs by solving for features is
+    # ill-posed; instead verify via the math itself: apply the head with
+    # num_classes=1 heads whose kernel is the gathered slice.
+    offs = {"mask": 0, "xyz": 2 * 3, "region": (2 + 3) * 3}
+    dims = {"mask": 2, "xyz": 3, "region": 5}
+    single = TopDownDoubleMaskXyzRegionHead(
+        up_types=("bilinear",), feat_dim=16, num_gn_groups=4,
+        mask_num_classes=1, xyz_num_classes=1, region_num_classes=1,
+        mask_out_dim=2, xyz_out_dim=3, region_out_dim=5, dtype=jnp.float32)
+    import copy
+    for i, lab in enumerate(labels):
+        sel_cols = []
+        for name in ("mask", "xyz", "region"):
+            d = dims[name]
+            start = offs[name] + lab * d
+            sel_cols.extend(range(start, start + d))
+        sp = jax.tree_util.tree_map(lambda v: v, params)
+        sp = jax.device_get(sp)
+        sp["params"]["out_conv_kernel"] = \
+            np.asarray(params["params"]["out_conv_kernel"])[:, :, :, sel_cols]
+        sp["params"]["out_conv_bias"] = bias[sel_cols]
+        ref = single.apply(jax.tree.map(jnp.asarray, sp), x[i:i + 1])
+        for key in ("vis_mask", "full_mask", "coor_x", "region"):
+            np.testing.assert_allclose(np.asarray(fast[key][i:i + 1]),
+                                       np.asarray(ref[key]), atol=1e-4)
