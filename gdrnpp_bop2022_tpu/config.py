@@ -174,6 +174,7 @@ class InputConfig:
     dzi_shift_ratio: float = 0.25
     truncate_fg: bool = False
     change_bg_prob: float = 0.5
+    bg_images_dir: str = ""           # VOC/COCO-style background image dir
     color_aug: ColorAugConfig = field(default_factory=ColorAugConfig)
     with_depth: bool = False
     bp_depth: bool = False

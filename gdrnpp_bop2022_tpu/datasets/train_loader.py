@@ -43,9 +43,25 @@ class GdrnTrainLoader:
         bbox_type: str = "AMODAL_CLIP",
         seed: int = 0,
         prefetch: int = 2,
+        bg_paths: Optional[Sequence[str]] = None,
+        bg_pool_size: int = 64,
     ):
+        """bg_paths: image files for background replacement (reference
+        _bg_img_paths from VOC/COCO/SUN, base_data_loader.py:339-460); a
+        random pool is kept in memory and shipped with each batch."""
         assert len(records) > 0
         self.records = list(records)
+        self._bg_pool = None
+        if bg_paths:
+            import cv2
+            rs = np.random.RandomState(seed + 7)
+            picks = rs.choice(len(bg_paths), min(bg_pool_size, len(bg_paths)),
+                              replace=False)
+            pool = []
+            for i in picks:
+                img = load_image(bg_paths[int(i)])
+                pool.append(cv2.resize(img, (im_width, im_height)))
+            self._bg_pool = np.stack(pool)
         self.records2 = list(records2) if records2 else None
         self.ratio2 = ratio2
         self.batch_size = batch_size
@@ -114,7 +130,7 @@ class GdrnTrainLoader:
             scale_ratio=self.dzi["scale_ratio"],
             shift_ratio=self.dzi["shift_ratio"],
             dzi_type=self.dzi["dzi_type"])
-        return {
+        out = {
             "images": np.stack(images),
             "img_idx": np.arange(B, dtype=np.int32),
             "centers": centers,
@@ -128,6 +144,9 @@ class GdrnTrainLoader:
             "mask_full": np.stack(mfs),
             "mask_idx": np.arange(B, dtype=np.int32),
         }
+        if self._bg_pool is not None:
+            out["bg_images"] = self._bg_pool
+        return out
 
     def _worker(self):
         while not self._stop.is_set():

@@ -87,6 +87,13 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
         sched = build_lr_scheduler(cfg, iters_per_epoch)
     tx = build_optimizer(cfg, sched)
 
+    bg_paths = None
+    if cfg.input.change_bg_prob > 0 and cfg.input.bg_images_dir:
+        import glob as _glob
+        bg_paths = sorted(
+            p for ext in ("*.jpg", "*.jpeg", "*.png")
+            for p in _glob.glob(os.path.join(cfg.input.bg_images_dir,
+                                             "**", ext), recursive=True))
     loader = GdrnTrainLoader(
         records, cfg.solver.ims_per_batch, im_w, im_h,
         records2=records2, ratio2=cfg.datasets.train2_ratio,
@@ -95,7 +102,8 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
         dzi_shift_ratio=cfg.input.dzi_shift_ratio,
         dzi_type=cfg.input.dzi_type,
         bbox_type=cfg.model.bbox_type,
-        seed=cfg.train.seed)
+        seed=cfg.train.seed,
+        bg_paths=bg_paths)
 
     verts = jnp.asarray(model_bank.verts)
     faces = jnp.asarray(model_bank.faces)
@@ -115,10 +123,17 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
                  if pc.loss.xyz_loss_type == "CE_coor" else 0))
 
     def prep(host_batch, key):
-        from ..ops.color_aug import cosy_aae_color_aug
+        from ..ops.color_aug import cosy_aae_color_aug, replace_background
         images = jnp.asarray(host_batch["images"])
+        k_bg, k_color = jax.random.split(key)
+        if cfg.input.change_bg_prob > 0 and "bg_images" in host_batch:
+            images = replace_background(
+                k_bg, images.astype(jnp.float32),
+                jnp.asarray(host_batch["mask_visib"]),
+                jnp.asarray(host_batch["bg_images"]),
+                prob=cfg.input.change_bg_prob)
         if cfg.input.color_aug.prob > 0:
-            images = cosy_aae_color_aug(key, images,
+            images = cosy_aae_color_aug(k_color, images,
                                         global_prob=cfg.input.color_aug.prob)
         batch = build_train_batch_online(
             images, jnp.asarray(host_batch["img_idx"]),
@@ -171,6 +186,20 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
             writer.write(it + 1, jax.device_get(metrics), float(sched(it)))
         if (it + 1) % ckpt_period == 0 or (it + 1) == total_iters:
             ckpt.save(state, it + 1)
+        if cfg.train.vis_period > 0 and (it + 1) % cfg.train.vis_period == 0:
+            # training-batch visualization dump (reference TRAIN.VIS,
+            # engine.py:371-397 tensorboard image dumps)
+            from ..utils.vis import grid_show
+            b = jax.device_get(jax.tree.map(
+                lambda x: x[:4] if hasattr(x, "shape") else x, batch))
+            tiles, titles = [], []
+            for i in range(min(4, b["roi_img"].shape[0])):
+                tiles += [b["roi_img"][i] * 127 + 127, b["gt_xyz"][i],
+                          b["gt_mask_visib"][i], b["gt_region"][i].astype(float)]
+                titles += [f"img{i}", "gt_xyz", "mask", "region"]
+            grid_show(tiles, titles,
+                      out_path=os.path.join(cfg.output_dir,
+                                            f"vis_{it+1:06d}.png"))
         if it + 1 < total_iters:
             host_batch = next(iter(loader))
     loader.close()

@@ -1,0 +1,51 @@
+"""Background replacement: device op semantics + loader/trainer wiring."""
+
+import os
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+
+from gdrnpp_bop2022_tpu.ops.color_aug import replace_background
+
+
+def test_replace_background_masks_correctly():
+    B, H, W = 4, 16, 16
+    imgs = jnp.full((B, H, W, 3), 100.0)
+    fg = np.zeros((B, H, W), np.float32)
+    fg[:, 4:12, 4:12] = 1.0
+    bgs = jnp.full((2, H, W, 3), 200.0)
+    out = np.asarray(replace_background(jax.random.PRNGKey(0), imgs,
+                                        jnp.asarray(fg), bgs, prob=1.0))
+    # fg pixels keep original value; bg pixels replaced
+    assert (out[:, 6, 6] == 100.0).all()
+    assert (out[:, 0, 0] == 200.0).all()
+    # prob=0 -> untouched
+    out0 = np.asarray(replace_background(jax.random.PRNGKey(0), imgs,
+                                         jnp.asarray(fg), bgs, prob=0.0))
+    assert (out0 == 100.0).all()
+
+
+def test_loader_ships_bg_pool(tmp_path):
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth_utils import build_synth_bop
+    from gdrnpp_bop2022_tpu.datasets.bop_data import index_bop_split
+    from gdrnpp_bop2022_tpu.datasets.train_loader import GdrnTrainLoader
+
+    s = build_synth_bop(tmp_path / "synth", split="train", n_images=2, seed=1)
+    records = index_bop_split(s["split_dir"], s["meta"])
+
+    bg_dir = tmp_path / "bgs"
+    os.makedirs(bg_dir)
+    for i in range(3):
+        cv2.imwrite(str(bg_dir / f"bg{i}.png"),
+                    np.full((60, 80, 3), 30 * (i + 1), np.uint8))
+    bg_paths = [str(bg_dir / f"bg{i}.png") for i in range(3)]
+
+    loader = GdrnTrainLoader(records, 2, 160, 120, bg_paths=bg_paths, seed=0)
+    batch = next(iter(loader))
+    loader.close()
+    assert "bg_images" in batch
+    assert batch["bg_images"].shape[1:] == (120, 160, 3)
