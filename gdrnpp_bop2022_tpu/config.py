@@ -121,6 +121,9 @@ class PoseNetConfig:
     output_res: int = 64
     xyz_online: bool = True           # render XYZ GT on device during training
     xyz_bp: bool = True
+    gt_max_faces: int = 1024          # mesh decimation budget for online GT
+                                      # rendering (64x64 crops; render time
+                                      # scales linearly with face count)
     backbone: BackboneConfig = field(default_factory=BackboneConfig)
     geo_head: GeoHeadConfig = field(default_factory=GeoHeadConfig)
     pnp_net: PnPNetConfig = field(default_factory=PnPNetConfig)

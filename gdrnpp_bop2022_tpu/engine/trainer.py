@@ -59,9 +59,12 @@ class MetricsWriter:
 
 def train_gdrn(cfg: Config, records, model_bank, records2=None,
                max_iters: Optional[int] = None, resume: bool = True,
-               meta=None):
+               meta=None, eval_fn=None):
     """Train GDRN. records: InstanceRecord list; model_bank: ModelBank;
-    meta: DatasetMeta (resolved from cfg.datasets.train when omitted)."""
+    meta: DatasetMeta (resolved from cfg.datasets.train when omitted);
+    eval_fn: optional callable(state, iteration) -> dict run every
+    cfg.train.eval_period iterations (reference: periodic do_test,
+    engine.py:345-363) — results are appended to metrics.json."""
     if meta is None and cfg.datasets.train:
         meta = get_meta(cfg.datasets.train[0])
     im_w = meta.width if meta else 640
@@ -186,6 +189,16 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
             writer.write(it + 1, jax.device_get(metrics), float(sched(it)))
         if (it + 1) % ckpt_period == 0 or (it + 1) == total_iters:
             ckpt.save(state, it + 1)
+        if (eval_fn is not None and cfg.train.eval_period > 0
+                and ((it + 1) % cfg.train.eval_period == 0
+                     or (it + 1) == total_iters)):
+            eval_metrics = eval_fn(state, it + 1)
+            if eval_metrics:
+                row = {f"val/{k}": float(v) for k, v in eval_metrics.items()}
+                row["iteration"] = it + 1
+                with open(writer.path, "a") as f:
+                    f.write(json.dumps(row) + "\n")
+                print(f"eval @ {it+1}: {eval_metrics}", flush=True)
         if cfg.train.vis_period > 0 and (it + 1) % cfg.train.vis_period == 0:
             # training-batch visualization dump (reference TRAIN.VIS,
             # engine.py:371-397 tensorboard image dumps)

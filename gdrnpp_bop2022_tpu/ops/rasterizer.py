@@ -48,7 +48,7 @@ def rasterize_mesh(
     K: jax.Array,             # (3, 3) intrinsics (full-image or crop-K)
     height: int,
     width: int,
-    chunk: int = 512,
+    chunk: int = 1024,
 ):
     """Z-buffer rasterization of one mesh.
 
@@ -139,7 +139,7 @@ def render_depth_xyz_batch(
     Ks: jax.Array,        # (B, 3, 3) crop intrinsics
     height: int,
     width: int,
-    chunk: int = 512,
+    chunk: int = 1024,   # measured sweet spot on v5e (13 ms for 48x1024 faces)
 ):
     """Render depth + object-space XYZ maps for a batch of posed objects.
 

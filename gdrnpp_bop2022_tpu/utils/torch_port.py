@@ -40,6 +40,25 @@ def t2f_linear(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 0))
 
 
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference .pth checkpoint into a numpy state dict.
+
+    Handles the reference's formats (my_checkpoint.py): raw state dicts,
+    {"model": sd} wrappers (model_final_wo_optim.pth), and Lightning/DDP
+    prefixes."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model" in ckpt and isinstance(ckpt["model"], dict):
+        ckpt = ckpt["model"]
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in ckpt.items()}
+    for prefix in ("_module.", "module."):
+        sd = strip_prefix(sd, prefix)
+    return sd
+
+
 def strip_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
     """Remove a wrapper prefix (e.g. '_module.' from Lightning, 'module.'
     from DDP) — reference my_checkpoint.py prefix handling."""

@@ -119,3 +119,16 @@ def test_nms_suppresses_duplicates():
     kept = valid & (scores > 0)
     assert kept.sum() == 2, (kept, scores)
     assert set(labels[kept].tolist()) == {0, 1}
+
+
+def test_tta_multiscale_inference():
+    from gdrnpp_bop2022_tpu.models.yolox.yolox import tta_inference
+    model = _tiny_model()
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    out = tta_inference(model, params, x, scales=(1.0, 1.5), flip=True,
+                        conf_thr=0.0, max_dets=8)
+    assert out["boxes_xyxy"].shape == (1, 8, 4)
+    b = np.asarray(out["boxes_xyxy"][0])
+    v = np.asarray(out["valid"][0])
+    assert np.isfinite(b[v]).all()

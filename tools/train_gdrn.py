@@ -52,7 +52,8 @@ def main():
                     else cfg.datasets.test[0])
     models_dir = meta.models_dir(cfg.datasets.root)
     bank = ModelBank.from_bop_models_dir(
-        models_dir, num_fps=cfg.model.pose_net.geo_head.num_regions)
+        models_dir, num_fps=cfg.model.pose_net.geo_head.num_regions,
+        max_faces=cfg.model.pose_net.gt_max_faces)
 
     if args.eval_only:
         from tools.test_gdrn import run_eval  # noqa
