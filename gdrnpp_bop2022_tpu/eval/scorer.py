@@ -151,7 +151,39 @@ def score_bop_results(
         pj = np.array([e for e, _ in err_rows["proj"]])
         for th in (2, 5, 10):
             out[f"proj_{th}"] = float(np.mean(pj < th))
+        # ADD(-S) AUC up to 10 cm (YCB-V standard; reference AUC tables,
+        # test_utils.py:220+): VOC-style area under the accuracy curve
+        for name in ("add", "adi"):
+            errs = np.array([e for e, _ in err_rows[name]])
+            out[f"auc_{name}_10cm"] = auc_of_errors(errs, max_err=0.10)
     return out
+
+
+def auc_of_errors(errs: np.ndarray, max_err: float = 0.10, steps: int = 100) -> float:
+    """Area under the accuracy-vs-threshold curve, thresholds in
+    [0, max_err] (the PoseCNN/YCB-V ADD-S AUC definition)."""
+    ths = np.linspace(0, max_err, steps + 1)[1:]
+    return float(np.mean([(errs < t).mean() for t in ths]))
+
+
+def per_object_scores(results, gts, model_bank, obj_ids=None, **kwargs):
+    """Per-object score table + object-count-weighted mean AR (reference:
+    test_utils.py tabulate output with weighted averages)."""
+    by_obj = sorted({g["obj_id"] for g in gts}) if obj_ids is None else obj_ids
+    table = {}
+    counts = {}
+    for oid in by_obj:
+        g = [x for x in gts if x["obj_id"] == oid]
+        r = [x for x in results if x["obj_id"] == oid]
+        counts[oid] = len(g)
+        table[oid] = score_bop_results(r, g, model_bank, **kwargs)
+    ars = [(table[o].get("AR"), counts[o]) for o in by_obj
+           if table[o].get("AR") is not None]
+    if ars:
+        total = sum(c for _, c in ars)
+        table["weighted_mean_AR"] = float(
+            sum(a * c for a, c in ars) / max(total, 1))
+    return table
 
 
 def _pose_arrays(ests, gt_list):

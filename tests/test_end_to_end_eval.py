@@ -269,3 +269,19 @@ def test_inference_post_modes(synth_bop, post_mode):
     assert len(results) == 6
     for r in results:
         assert np.isfinite(r["t"]).all() and np.isfinite(r["R"]).all()
+
+
+def test_per_object_scores_and_auc(synth_bop):
+    from gdrnpp_bop2022_tpu.eval.scorer import per_object_scores, auc_of_errors
+    gt_rows = synth_bop["gt_rows"]
+    bank = synth_bop["bank"]
+    perfect = [{"scene_id": g["scene_id"], "im_id": g["im_id"],
+                "obj_id": g["obj_id"], "score": 1.0, "R": g["R"], "t": g["t"],
+                "K": g["K"]} for g in gt_rows]
+    table = per_object_scores(perfect, gt_rows, bank, im_width=160,
+                              errors=("mssd", "mspd"))
+    assert table[1]["AR"] == 1.0 and table[2]["AR"] == 1.0
+    assert table["weighted_mean_AR"] == 1.0
+    assert table[1]["auc_add_10cm"] > 0.99
+    # sanity: auc of all-bad errors is 0
+    assert auc_of_errors(np.full(10, 1.0)) == 0.0
