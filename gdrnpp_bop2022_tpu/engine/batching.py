@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..ops.crop import (affine_grid_from_boxes, roi_crop_resize,
                         roi_crop_resize_mxu)
-from ..ops.rasterizer import render_depth_xyz_batch
+from ..ops.rasterizer import render_depth_xyz
 from ..ops.region import xyz_to_region
 from ..geometry.camera import centered_crop_K
 
@@ -158,7 +158,7 @@ def build_train_batch_online(
     crop_Ks = centered_crop_K(Ks.astype(jnp.float32), centers, scales, output_res)
     roi_verts = jnp.take(verts, labels, axis=0)
     roi_faces = jnp.take(faces, labels, axis=0)
-    depth, xyz = render_depth_xyz_batch(
+    depth, xyz = render_depth_xyz(
         roi_verts, roi_faces, gt_rots, gt_transes, crop_Ks,
         output_res, output_res)
     mask_obj = (depth > 1e-6).astype(jnp.float32)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.pnp import ransac_pnp, uncertainty_pnp, normalize_points_2d, lm_refine_pnp
-from ..ops.rasterizer import render_depth_xyz_batch
+from ..ops.rasterizer import render_depth_xyz
 from ..geometry.camera import centered_crop_K
 
 
@@ -104,7 +104,7 @@ def depth_refine_batch(
     xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
 
     def one_iter(t, _):
-        depth_ren, _unused = render_depth_xyz_batch(
+        depth_ren, _unused = render_depth_xyz(
             verts, faces, rots, t, crop_Ks, H, W)
         ren_mask = depth_ren > 0
         q = query_base * ren_mask * sensor_mask                  # (B, H, W)

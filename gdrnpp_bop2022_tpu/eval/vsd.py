@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.rasterizer import render_depth_xyz_batch
+from ..ops.rasterizer import render_depth_xyz
 from ..ops.crop import roi_crop_resize
 from ..geometry.camera import centered_crop_K
 
@@ -77,8 +77,8 @@ def vsd_batch(
     centers = jnp.stack([cx, cy], axis=-1)
 
     crop_Ks = centered_crop_K(Ks, centers, scale, res)
-    d_est, _ = render_depth_xyz_batch(verts, faces, R_est, t_est, crop_Ks, res, res)
-    d_gt, _ = render_depth_xyz_batch(verts, faces, R_gt, t_gt, crop_Ks, res, res)
+    d_est, _ = render_depth_xyz(verts, faces, R_est, t_est, crop_Ks, res, res)
+    d_gt, _ = render_depth_xyz(verts, faces, R_gt, t_gt, crop_Ks, res, res)
 
     d_test_w = roi_crop_resize(depth_test[..., None], centers, scale, res,
                                method="nearest")[..., 0]

@@ -1,0 +1,198 @@
+"""Pallas TPU rasterizer: z-buffer depth/XYZ rendering with all
+intermediates resident in VMEM.
+
+The XLA rasterizer (ops/rasterizer.py) materializes (pixels x faces)
+f32 intermediates in HBM every scan step. This kernel keeps the z-buffer,
+attribute buffer and all per-tile intermediates in VMEM: grid is
+(ROI, pixel-tile); each program loops over face chunks with
+`jax.lax.fori_loop`, evaluating edge functions for a (TILE_P, TILE_F)
+block and min-reducing in place. Per-face vertex data is pre-gathered
+OUTSIDE the kernel (XLA gathers; avoids in-kernel gathers, which TPU
+pallas handles poorly).
+
+Mosaic layout notes (these choices are load-bearing):
+  * pixel coords ship as (B, P, 1) so the kernel reads a (TILE_P, 1)
+    column directly — no lane->sublane reshape;
+  * face data ships TRANSPOSED as (B, 20, F) so per-face quantities are
+    1D lane vectors reshaped to (1, TILE_F) — again no lane crossing;
+  * the depth-argmin is re-expressed as winner-takes-all mask + masked
+    sum, avoiding per-pixel gathers.
+
+Semantics match rasterize_mesh (same epsilon seam rule, perspective-correct
+interpolation); parity-tested in tests/test_pallas_raster.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e9
+
+# packed face-data row layout (see _pack_face_data): rows 0..19 are
+# [x0,y0,x1,y1,x2,y2, iz0,iz1,iz2, valid, inv_area, a0xyz, a1xyz, a2xyz]
+_COLS = 20
+
+
+def _raster_kernel(face_data_ref, px_ref, py_ref, depth_ref, attr_ref,
+                   *, n_faces: int, tile_f: int):
+    px = px_ref[0]                               # (P, 1)
+    py = py_ref[0]
+    P = px.shape[0]
+
+    n_tiles = n_faces // tile_f
+
+    def body(t, carry):
+        zbuf, abuf = carry                       # (P, 1), (P, 3)
+        sl = pl.ds(t * tile_f, tile_f)
+
+        def row(j):
+            return face_data_ref[0, j, sl].reshape(1, tile_f)
+
+        x0, y0, x1, y1, x2, y2 = (row(0), row(1), row(2), row(3),
+                                  row(4), row(5))
+        iz0, iz1, iz2 = row(6), row(7), row(8)
+        valid = row(9)
+        inv_area = row(10)
+
+        w0 = ((x1 - px) * (y2 - py) - (x2 - px) * (y1 - py)) * inv_area
+        w1 = ((x2 - px) * (y0 - py) - (x0 - px) * (y2 - py)) * inv_area
+        w2 = 1.0 - w0 - w1
+        eps = -1e-5
+        inside = ((w0 >= eps) & (w1 >= eps) & (w2 >= eps)
+                  & (valid > 0.5))               # (P, T)
+
+        izp = w0 * iz0 + w1 * iz1 + w2 * iz2
+        zp = 1.0 / jnp.maximum(izp, 1e-12)
+        zp = jnp.where(inside & (zp > 1e-6), zp, _BIG)
+
+        best_z = jnp.min(zp, axis=1, keepdims=True)          # (P, 1)
+        closer = best_z < zbuf
+        win = (zp <= best_z) & (zp < _BIG * 0.5)             # (P, T)
+        n_win = jnp.maximum(jnp.sum(win.astype(jnp.float32), axis=1,
+                                    keepdims=True), 1.0)
+        iz_p = jnp.sum(jnp.where(win, izp, 0.0), axis=1,
+                       keepdims=True) / n_win                # (P, 1)
+
+        new_cols = []
+        for c in range(3):
+            a0 = row(11 + c)
+            a1 = row(14 + c)
+            a2 = row(17 + c)
+            num = w0 * a0 * iz0 + w1 * a1 * iz1 + w2 * a2 * iz2
+            num_w = jnp.sum(jnp.where(win, num, 0.0), axis=1,
+                            keepdims=True) / n_win
+            attr_c = num_w / jnp.maximum(iz_p, 1e-12)        # (P, 1)
+            new_cols.append(jnp.where(closer, attr_c, abuf[:, c:c + 1]))
+        abuf = jnp.concatenate(new_cols, axis=1)
+        zbuf = jnp.where(closer, best_z, zbuf)
+        return zbuf, abuf
+
+    zbuf0 = jnp.full((P, 1), _BIG, jnp.float32)
+    abuf0 = jnp.zeros((P, 3), jnp.float32)
+    zbuf, abuf = jax.lax.fori_loop(0, n_tiles, body, (zbuf0, abuf0))
+    hit = zbuf < _BIG * 0.5
+    depth_ref[0, :, :] = jnp.where(hit, zbuf, 0.0)
+    attr_ref[0, :, :] = jnp.where(hit, abuf, 0.0)
+
+
+def _pack_face_data(verts_cam, attrs, faces, K):
+    """Pre-gather per-face data, TRANSPOSED: (B, 20, F)."""
+    z = verts_cam[..., 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = (K[:, 0, 0, None] * verts_cam[..., 0] / safe_z + K[:, 0, 2, None]
+         + K[:, 0, 1, None] * verts_cam[..., 1] / safe_z)
+    v = K[:, 1, 1, None] * verts_cam[..., 1] / safe_z + K[:, 1, 2, None]
+    inv_z = 1.0 / safe_z
+
+    def g(arr, idx):
+        return jnp.take_along_axis(arr, idx, axis=1)
+
+    i0, i1, i2 = faces[..., 0], faces[..., 1], faces[..., 2]
+    x0, x1, x2 = g(u, i0), g(u, i1), g(u, i2)
+    y0, y1, y2 = g(v, i0), g(v, i1), g(v, i2)
+    z0, z1, z2 = g(z, i0), g(z, i1), g(z, i2)
+    iz0, iz1, iz2 = g(inv_z, i0), g(inv_z, i1), g(inv_z, i2)
+    area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    valid = ((jnp.abs(area) > 1e-12) & (z0 > 1e-6) & (z1 > 1e-6)
+             & (z2 > 1e-6)).astype(jnp.float32)
+    inv_area = jnp.where(valid > 0.5,
+                         1.0 / jnp.where(jnp.abs(area) < 1e-12, 1.0, area),
+                         0.0)
+
+    def ga(c, idx):
+        return jnp.take_along_axis(attrs[..., c], idx, axis=1)
+
+    rows = [x0, y0, x1, y1, x2, y2, iz0, iz1, iz2, valid, inv_area,
+            ga(0, i0), ga(1, i0), ga(2, i0),
+            ga(0, i1), ga(1, i1), ga(2, i1),
+            ga(0, i2), ga(1, i2), ga(2, i2)]
+    return jnp.stack(rows, axis=1)               # (B, 20, F)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "tile_p", "tile_f",
+                                   "interpret"))
+def render_depth_xyz_pallas(
+    verts: jax.Array,     # (B, V, 3) object-space vertices
+    faces: jax.Array,     # (B, F, 3) int32
+    rots: jax.Array,      # (B, 3, 3)
+    transes: jax.Array,   # (B, 3)
+    Ks: jax.Array,        # (B, 3, 3)
+    height: int,
+    width: int,
+    tile_p: int = 1024,
+    tile_f: int = 256,
+    interpret: bool = False,
+):
+    """Drop-in pallas equivalent of render_depth_xyz_batch."""
+    B, V, _ = verts.shape
+    verts_cam = jnp.einsum("bij,bvj->bvi", rots, verts) + transes[:, None, :]
+    fd = _pack_face_data(verts_cam, verts, faces, Ks)        # (B, 20, F)
+    F = fd.shape[-1]
+    pad_f = (-F) % tile_f
+    if pad_f:
+        fd = jnp.pad(fd, ((0, 0), (0, 0), (0, pad_f)))
+    Fp = fd.shape[-1]
+
+    P = height * width
+    px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.float32)[None, :],
+                          (height, width)).reshape(-1)
+    py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.float32)[:, None],
+                          (height, width)).reshape(-1)
+    pad_p = (-P) % tile_p
+    if pad_p:
+        px = jnp.pad(px, (0, pad_p))
+        py = jnp.pad(py, (0, pad_p))
+    Pp = px.shape[0]
+    n_ptiles = Pp // tile_p
+    px = jnp.broadcast_to(px.reshape(1, Pp, 1), (B, Pp, 1))
+    py = jnp.broadcast_to(py.reshape(1, Pp, 1), (B, Pp, 1))
+
+    depth, attr = pl.pallas_call(
+        partial(_raster_kernel, n_faces=Fp, tile_f=tile_f),
+        out_shape=(jax.ShapeDtypeStruct((B, Pp, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Pp, 3), jnp.float32)),
+        grid=(B, n_ptiles),
+        in_specs=[
+            pl.BlockSpec((1, _COLS, Fp), lambda b, p: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p, 1), lambda b, p: (b, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p, 1), lambda b, p: (b, p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile_p, 1), lambda b, p: (b, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p, 3), lambda b, p: (b, p, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(fd, px, py)
+    depth = depth[:, :P, 0].reshape(B, height, width)
+    attr = attr[:, :P].reshape(B, height, width, 3)
+    return depth, attr
