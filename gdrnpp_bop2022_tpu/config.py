@@ -121,6 +121,7 @@ class PoseNetConfig:
     output_res: int = 64
     xyz_online: bool = True           # render XYZ GT on device during training
     xyz_bp: bool = True
+    fuse_type: str = "cat"            # RGB-D dstream fusion: cat | conv
     gt_max_faces: int = 1024          # mesh decimation budget for online GT
                                       # rendering (64x64 crops; render time
                                       # scales linearly with face count)

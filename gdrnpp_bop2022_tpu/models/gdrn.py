@@ -101,9 +101,14 @@ class GDRN(nn.Module):
         nc = pc.num_classes
         self.backbone = _build_backbone(pc, self.dtype)
         # RGB-D dual-stream variant (reference GDRN_Dstream_double_mask.py:37):
-        # a second backbone over backprojected depth, fused by concat
+        # a second backbone over backprojected depth, fused by concat or
+        # ConvFuseNet (reference fusenets/conv_fuse_net.py)
         self.depth_backbone = (_build_backbone(pc, self.dtype)
                                if "dstream" in pc.name else None)
+        self.fuse_net = None
+        if self.depth_backbone is not None and pc.fuse_type == "conv":
+            from .heads.point_pnp_net import ConvFuseNet
+            self.fuse_net = ConvFuseNet(dtype=self.dtype)
         gh = pc.geo_head
         head_cls = (TopDownMaskXyzRegionHead
                     if gh.name == "top_down_mask_xyz_region"
@@ -128,21 +133,31 @@ class GDRN(nn.Module):
             dtype=self.dtype,
         )
         pn = pc.pnp_net
-        self.pnp_net = ConvPnPNet(
-            featdim=pn.featdim,
-            rot_dim=6 if "rot6d" in pn.rot_type else 4,
-            num_stride2_layers=pn.num_stride2_layers,
-            num_extra_layers=pn.num_extra_layers,
-            norm=pn.norm,
-            num_gn_groups=pn.num_gn_groups,
-            act=pn.act,
-            drop_prob=pn.drop_prob,
-            dropblock_size=pn.dropblock_size,
-            flat_op=pn.flat_op,
-            denormalize_by_extent=pn.denormalize_by_extent,
-            mask_attention=pn.mask_attention,
-            dtype=self.dtype,
-        )
+        rot_dim = 6 if "rot6d" in pn.rot_type else 4
+        if pn.name in ("point_pnp", "simple_point_pnp"):
+            from .heads.point_pnp_net import SimplePointPnPNet
+            self.pnp_net = SimplePointPnPNet(
+                rot_dim=rot_dim,
+                mask_attention=pn.mask_attention,
+                denormalize_by_extent=pn.denormalize_by_extent,
+                dtype=self.dtype,
+            )
+        else:
+            self.pnp_net = ConvPnPNet(
+                featdim=pn.featdim,
+                rot_dim=rot_dim,
+                num_stride2_layers=pn.num_stride2_layers,
+                num_extra_layers=pn.num_extra_layers,
+                norm=pn.norm,
+                num_gn_groups=pn.num_gn_groups,
+                act=pn.act,
+                drop_prob=pn.drop_prob,
+                dropblock_size=pn.dropblock_size,
+                flat_op=pn.flat_op,
+                denormalize_by_extent=pn.denormalize_by_extent,
+                mask_attention=pn.mask_attention,
+                dtype=self.dtype,
+            )
 
     def __call__(
         self,
@@ -169,7 +184,10 @@ class GDRN(nn.Module):
             assert roi_depth is not None, "dstream model needs roi_depth"
             dfeat = self.depth_backbone(roi_depth.astype(self.dtype),
                                         deterministic=deterministic)
-            feat = jnp.concatenate([feat, dfeat], axis=-1)
+            if self.fuse_net is not None:
+                feat = self.fuse_net(feat, dfeat)
+            else:
+                feat = jnp.concatenate([feat, dfeat], axis=-1)
         # class-aware selection happens INSIDE the head via the weight-
         # gather fast path (see heads/top_down_head.py) — outputs arrive
         # already gathered for each ROI's class

@@ -151,3 +151,20 @@ def test_class_aware_weight_gather_equals_full_conv():
         for key in ("vis_mask", "full_mask", "coor_x", "region"):
             np.testing.assert_allclose(np.asarray(fast[key][i:i + 1]),
                                        np.asarray(ref[key]), atol=1e-4)
+
+
+def test_point_pnp_head_variant():
+    cfg = _cfg(**{"model.pose_net.pnp_net.name": "point_pnp"})
+    out, batch = _run(cfg)
+    assert out["rot"].shape == (2, 3, 3)
+    assert np.isfinite(np.asarray(out["trans"])).all()
+
+
+def test_dstream_conv_fuse_variant():
+    cfg = _cfg(**{"model.pose_net.name": "gdrn_dstream_double_mask",
+                  "model.pose_net.fuse_type": "conv"})
+    depth = jnp.asarray(np.random.RandomState(1).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32))
+    out, batch = _run(cfg, extra_inputs={"roi_depth": depth})
+    assert out["rot"].shape == (2, 3, 3)
+    assert np.isfinite(np.asarray(out["trans"])).all()
