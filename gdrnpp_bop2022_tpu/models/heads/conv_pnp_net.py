@@ -101,3 +101,45 @@ class ConvPnPNet(nn.Module):
                      kernel_init=nn.initializers.normal(0.01), name="fc_t")(
                          h.astype(jnp.float32))
         return rot, t
+
+
+class ConvPnPNetCls(ConvPnPNet):
+    """Class-aware final FCs (reference: conv_pnp_net_cls.py ConvPnPNetCls):
+    fc_r / fc_t hold per-class weight slices, selected by ROI label with
+    the same weight-gather trick as the geo head."""
+    num_classes: int = 1
+
+    @nn.compact
+    def __call__(self, coor_feat, region=None, extents=None,
+                 mask_attention=None, labels=None,
+                 deterministic: bool = True, progress: float = 1.0):
+        in_c = coor_feat.shape[-1]
+        if in_c in (3, 5) and self.denormalize_by_extent and extents is not None:
+            xyz = (coor_feat[..., :3] - 0.5) * extents[:, None, None, :].astype(coor_feat.dtype)
+            coor_feat = jnp.concatenate([xyz, coor_feat[..., 3:]], axis=-1)
+        x = coor_feat if region is None else jnp.concatenate([coor_feat, region], axis=-1)
+        x = x.astype(self.dtype)
+        for i in range(self.num_stride2_layers):
+            x = ConvModule(self.featdim, kernel_size=3, strides=2, norm=self.norm,
+                           num_gn_groups=self.num_gn_groups, act=self.act,
+                           dtype=self.dtype, name=f"conv_s2_{i}")(x)
+        B = x.shape[0]
+        flat = x.reshape(B, -1)
+        act = get_act(self.act if self.act != "relu" else "lrelu")
+        h = act(nn.Dense(1024, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="fc1")(flat))
+        h = act(nn.Dense(256, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="fc2")(h)).astype(jnp.float32)
+
+        def cls_fc(name, out_dim):
+            w = self.param(f"{name}_kernel", nn.initializers.normal(0.01),
+                           (256, self.num_classes * out_dim), jnp.float32)
+            b = self.param(f"{name}_bias", nn.initializers.zeros,
+                           (self.num_classes * out_dim,), jnp.float32)
+            idx = labels[:, None] * out_dim + jnp.arange(out_dim)[None, :]
+            w_sel = jnp.transpose(jnp.take(w, idx, axis=1), (1, 0, 2))  # (B,256,D)
+            b_sel = jnp.take(b, idx, axis=0)                            # (B,D)
+            return jnp.einsum("bc,bcd->bd", h, w_sel) + b_sel
+
+        assert labels is not None, "ConvPnPNetCls requires roi labels"
+        return cls_fc("fc_r", self.rot_dim), cls_fc("fc_t", 3)

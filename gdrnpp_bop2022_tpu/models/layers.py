@@ -74,6 +74,8 @@ class ConvModule(nn.Module):
                     use_bias=self.use_bias, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         x = get_norm(self.norm, self.num_gn_groups, self.dtype)(x)
+        if self.act == "acon":
+            return AconC(name="acon")(x)
         return get_act(self.act)(x)
 
 
@@ -113,3 +115,18 @@ class DropBlock2D(nn.Module):
         keep = 1.0 - block_mask
         denom = jnp.maximum(keep.mean(axis=(1, 2, 3), keepdims=True), 1e-6)
         return (x * keep / denom).astype(x.dtype)
+
+
+class AconC(nn.Module):
+    """ACON-C activation: (p1-p2)*x*sigmoid(beta*(p1-p2)*x) + p2*x with
+    learnable p1, p2, beta (reference: lib/torch_utils/layers/acon.py,
+    "Activate or Not", Ma et al. CVPR'21). Channel-last."""
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        p1 = self.param("p1", nn.initializers.normal(1.0), (C,), jnp.float32)
+        p2 = self.param("p2", nn.initializers.normal(1.0), (C,), jnp.float32)
+        beta = self.param("beta", nn.initializers.ones, (C,), jnp.float32)
+        dpx = ((p1 - p2).astype(x.dtype)) * x
+        return dpx * jax.nn.sigmoid(beta.astype(x.dtype) * dpx) \
+            + p2.astype(x.dtype) * x

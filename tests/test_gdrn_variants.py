@@ -168,3 +168,28 @@ def test_dstream_conv_fuse_variant():
     out, batch = _run(cfg, extra_inputs={"roi_depth": depth})
     assert out["rot"].shape == (2, 3, 3)
     assert np.isfinite(np.asarray(out["trans"])).all()
+
+
+def test_acon_and_cls_pnp_modules():
+    import flax.linen as nn
+    from gdrnpp_bop2022_tpu.models.layers import AconC, ConvModule
+    from gdrnpp_bop2022_tpu.models.heads.conv_pnp_net import ConvPnPNetCls
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 16).astype(np.float32))
+    m = ConvModule(16, act="acon", num_gn_groups=4, dtype=jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(p, x)
+    assert np.isfinite(np.asarray(y)).all()
+
+    head = ConvPnPNetCls(featdim=16, num_gn_groups=4, num_classes=3,
+                         num_stride2_layers=2, dtype=jnp.float32)
+    cf = jnp.asarray(np.random.RandomState(1).uniform(
+        0, 1, (2, 16, 16, 5)).astype(np.float32))
+    labels = jnp.asarray([2, 0])
+    ext = jnp.ones((2, 3)) * 0.1
+    params = head.init(jax.random.PRNGKey(1), cf, extents=ext, labels=labels)
+    rot, t = head.apply(params, cf, extents=ext, labels=labels)
+    assert rot.shape == (2, 6) and t.shape == (2, 3)
+    # different labels with same input give different outputs (per-class fc)
+    rot2, _ = head.apply(params, cf, extents=ext, labels=jnp.asarray([0, 2]))
+    assert not np.allclose(np.asarray(rot), np.asarray(rot2))
