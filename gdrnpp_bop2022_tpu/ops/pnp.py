@@ -135,9 +135,6 @@ def lm_refine_pnp(R0: jax.Array, t0: jax.Array, pts3d: jax.Array,
 
     params0 = jnp.concatenate([_log_so3(R0), t0], axis=-1)    # (B, 6)
 
-    def wres(p):
-        return (_residuals(p[None], pts3d_i[None], pts2d_i[None])[0] * w_i).reshape(-1)
-
     def one(params_i, pts3d_b, pts2d_b, w_b):
         def res_fn(p):
             return (_residuals(p[None], pts3d_b[None], pts2d_b[None])[0]
