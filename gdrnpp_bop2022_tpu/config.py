@@ -29,6 +29,8 @@ class BackboneConfig:
     pretrained: str = ""              # path to a converted checkpoint ("" = random init)
     freeze: bool = False
     in_channels: int = 3              # 6 for RGB-D concat variants
+    gelu_exact: bool = False          # erf GELU (torch parity); tanh approx
+                                      # is 1.9x faster on TPU, default
 
 
 @dataclass(frozen=True)
@@ -180,9 +182,14 @@ class InputConfig:
     change_bg_prob: float = 0.5
     bg_images_dir: str = ""           # VOC/COCO-style background image dir
     color_aug: ColorAugConfig = field(default_factory=ColorAugConfig)
+    # RGB-D (reference: data_loader.py:152-159, :345-356, :409-431)
     with_depth: bool = False
-    bp_depth: bool = False
-    depth_aug: bool = False
+    bp_depth: bool = True             # backproject depth -> cam-space XYZ (3ch)
+    depth_aug: bool = False           # reference INPUT.AUG_DEPTH
+    drop_depth_ratio: float = 0.2
+    drop_depth_prob: float = 0.5
+    add_noise_depth_level: float = 0.01
+    add_noise_depth_prob: float = 0.9
 
 
 # ---------------------------------------------------------------------------

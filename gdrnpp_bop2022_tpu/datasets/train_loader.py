@@ -21,7 +21,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from .bop_data import InstanceRecord, load_image, load_mask
+from .bop_data import InstanceRecord, load_depth, load_image, load_mask
 from ..engine.batching import dzi_jitter_host
 
 
@@ -44,26 +44,23 @@ class GdrnTrainLoader:
         seed: int = 0,
         prefetch: int = 2,
         bg_paths: Optional[Sequence[str]] = None,
-        bg_pool_size: int = 64,
+        truncate_fg: bool = False,
+        with_depth: bool = False,
     ):
         """bg_paths: image files for background replacement (reference
-        _bg_img_paths from VOC/COCO/SUN, base_data_loader.py:339-460); a
-        random pool is kept in memory and shipped with each batch."""
+        _bg_img_paths from VOC/COCO/SUN, base_data_loader.py:339-460).
+        Backgrounds are STREAMED: the prefetch worker loads a fresh random
+        background per sample per batch from the full list (reference
+        semantics — one random path per item), aspect-preserving crop+resize
+        (get_bg_image). truncate_fg: randomly truncate the foreground mask
+        before replacement (trunc_mask, base_data_loader.py:454-478)."""
         assert len(records) > 0
         self.records = list(records)
-        self._bg_pool = None
-        if bg_paths:
-            import cv2
-            rs = np.random.RandomState(seed + 7)
-            picks = rs.choice(len(bg_paths), min(bg_pool_size, len(bg_paths)),
-                              replace=False)
-            pool = []
-            for i in picks:
-                img = load_image(bg_paths[int(i)])
-                pool.append(cv2.resize(img, (im_width, im_height)))
-            self._bg_pool = np.stack(pool)
+        self._bg_paths = list(bg_paths) if bg_paths else None
+        self.truncate_fg = truncate_fg
         self.records2 = list(records2) if records2 else None
         self.ratio2 = ratio2
+        self.with_depth = with_depth
         self.batch_size = batch_size
         self.im_w, self.im_h = im_width, im_height
         self.dzi = dict(pad_scale=dzi_pad_scale, scale_ratio=dzi_scale_ratio,
@@ -99,7 +96,7 @@ class GdrnTrainLoader:
     def _build_batch(self) -> dict:
         B = self.batch_size
         recs = [self._pick_record() for _ in range(B)]
-        images, mvs, mfs = [], [], []
+        images, mvs, mfs, depths = [], [], [], []
         boxes, labels, rots, transes, Ks = [], [], [], [], []
         for r in recs:
             img = load_image(r.rgb_path)
@@ -107,6 +104,17 @@ class GdrnTrainLoader:
                 import cv2
                 img = cv2.resize(img, (self.im_w, self.im_h))
             images.append(img)
+            if self.with_depth:
+                # depth in meters (reference data_loader.py:345-349)
+                if r.depth_path:
+                    d = load_depth(r.depth_path, r.depth_scale, 1000.0)
+                else:
+                    d = np.zeros((self.im_h, self.im_w), np.float32)
+                if d.shape != (self.im_h, self.im_w):
+                    import cv2
+                    d = cv2.resize(d, (self.im_w, self.im_h),
+                                   interpolation=cv2.INTER_NEAREST)
+                depths.append(d)
             mv = (load_mask(r.mask_visib_path) if r.mask_visib_path
                   else np.ones((self.im_h, self.im_w), np.float32))
             mf = (load_mask(r.mask_full_path) if r.mask_full_path else mv)
@@ -144,9 +152,60 @@ class GdrnTrainLoader:
             "mask_full": np.stack(mfs),
             "mask_idx": np.arange(B, dtype=np.int32),
         }
-        if self._bg_pool is not None:
-            out["bg_images"] = self._bg_pool
+        if self.with_depth:
+            out["depths"] = np.stack(depths)
+        if self._bg_paths is not None:
+            out["bg_images"] = np.stack(
+                [self._load_bg() for _ in range(B)])
+            if self.truncate_fg:
+                out["fg_masks"] = np.stack(
+                    [self._trunc_mask(m) for m in mvs])
+            else:
+                out["fg_masks"] = out["mask_visib"]
         return out
+
+    def _load_bg(self) -> np.ndarray:
+        """One random background, aspect-preserving center-crop + resize
+        (reference get_bg_image keeps aspect, base_data_loader.py:480-520)."""
+        import cv2
+        path = self._bg_paths[self.rng.randint(len(self._bg_paths))]
+        try:
+            img = load_image(path)
+        except FileNotFoundError:
+            return np.zeros((self.im_h, self.im_w, 3), np.uint8)
+        h, w = img.shape[:2]
+        target_ar = self.im_w / self.im_h
+        if w / h > target_ar:     # too wide: crop width
+            cw = max(int(h * target_ar), 1)
+            x0 = (w - cw) // 2
+            img = img[:, x0:x0 + cw]
+        else:                     # too tall: crop height
+            ch = max(int(w / target_ar), 1)
+            y0 = (h - ch) // 2
+            img = img[y0:y0 + ch]
+        return cv2.resize(img, (self.im_w, self.im_h))
+
+    def _trunc_mask(self, mask: np.ndarray) -> np.ndarray:
+        """Randomly block one side of the foreground bbox (reference
+        trunc_mask, base_data_loader.py:454-478)."""
+        m = mask.astype(bool).copy()
+        nz = np.nonzero(m)
+        if len(nz[0]) == 0:
+            return m.astype(np.float32)
+        x1, y1 = np.min(nz[0]), np.min(nz[1])
+        x2, y2 = np.max(nz[0]), np.max(nz[1])
+        c_h = 0.5 * (x1 + x2)
+        c_w = 0.5 * (y1 + y2)
+        rnd = self.rng.uniform()
+        if rnd < 0.2:
+            m[:int(self.rng.uniform(x1, c_h)), :] = False
+        elif rnd < 0.4:
+            m[int(self.rng.uniform(c_h, x2)):, :] = False
+        elif rnd < 0.6:
+            m[:, :int(self.rng.uniform(y1, c_w))] = False
+        elif rnd < 0.8:
+            m[:, int(self.rng.uniform(c_w, y2)):] = False
+        return m.astype(np.float32)
 
     def _worker(self):
         while not self._stop.is_set():

@@ -116,6 +116,47 @@ def build_test_batch(
     }
 
 
+@partial(jax.jit, static_argnames=("input_res", "bp_depth"))
+def build_depth_rois(
+    depths: jax.Array,        # (M, H, W) full-image depth, meters
+    img_idx: jax.Array,       # (B,)
+    centers: jax.Array,       # (B, 2)
+    scales: jax.Array,        # (B,)
+    Ks: jax.Array,            # (B, 3, 3) FULL-IMAGE intrinsics
+    input_res: int = 256,
+    bp_depth: bool = True,
+) -> jax.Array:
+    """Backprojected depth ROIs for the RGB-D dual-stream model.
+
+    Reference semantics (data_loader.py:345-356, :503-511): depth is
+    backprojected with the full-image K into cam-space XYZ, then
+    nearest-crop-resized at input_res. Done the TPU way: ship the (M,H,W)
+    depth once, nearest-crop it per ROI, and backproject in closed form at
+    the ROUNDED source pixel coordinates — identical values to
+    backproject-then-nearest-crop, without materializing a (M,H,W,3) map.
+
+    Returns (B, input_res, input_res, 3) cam-space XYZ in meters when
+    bp_depth, else (B, input_res, input_res, 1) raw depth.
+    """
+    d_imgs = jnp.take(depths, img_idx, axis=0)[..., None]     # (B, H, W, 1)
+    d = roi_crop_resize(d_imgs, centers, scales, input_res,
+                        method="nearest")[..., 0]             # (B, R, R)
+    if not bp_depth:
+        return d[..., None]
+    grid = affine_grid_from_boxes(centers.astype(jnp.float32),
+                                  scales.astype(jnp.float32), input_res)
+    # the nearest sampler rounds the grid; backproject the same pixel
+    xs = jnp.round(grid[..., 0])
+    ys = jnp.round(grid[..., 1])
+    fx = Ks[:, 0, 0][:, None, None]
+    fy = Ks[:, 1, 1][:, None, None]
+    cx = Ks[:, 0, 2][:, None, None]
+    cy = Ks[:, 1, 2][:, None, None]
+    X = (xs - cx) / fx * d
+    Y = (ys - cy) / fy * d
+    return jnp.stack([X, Y, d], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("input_res", "output_res", "num_regions",
                                    "pixel_mean", "pixel_std", "xyz_bin"))
 def build_train_batch_online(

@@ -34,6 +34,11 @@ def run_gdrn_inference(
     depth_refine_iters: int = 2,
     depth_refine_threshold: float = 0.8,
     mask_loss_type: str = "L1",
+    with_depth_input: bool = False,  # dstream RGB-D model: feed roi_depth
+    bp_depth: bool = True,
+    mesh=None,                       # jax.sharding.Mesh: shard eval over the
+                                     # data axis (reference distributes eval
+                                     # via DDP ranks, my_comm.py:70-173)
 ) -> List[dict]:
     """Run pose inference over all test batches; returns BOP result rows
     (R (3,3), t in meters — CSV conversion to mm happens at save time).
@@ -54,11 +59,19 @@ def run_gdrn_inference(
         bank_faces = jnp.asarray(model_bank.faces)
 
     @jax.jit
-    def step(params, images, img_idx, boxes, Ks, labels):
+    def step(params, images, img_idx, boxes, Ks, labels, depths=None):
         batch = build_test_batch(
             images, img_idx, boxes, Ks, labels, extents,
             input_res=input_res, output_res=output_res,
             pixel_mean=mean, pixel_std=std)
+        if with_depth_input:
+            # RGB-D dual-stream input (reference data_loader.py:686-699:
+            # test depth loaded, backprojected, nearest-cropped at input_res)
+            from .batching import build_depth_rois
+            batch["roi_depth"] = build_depth_rois(
+                depths, img_idx, batch["roi_centers"],
+                output_res / batch["resize_ratios"], Ks,
+                input_res=input_res, bp_depth=bp_depth)
         out = model_apply(params, batch)
         rot, trans = out["rot"], out["trans"]
         if want_dense:
@@ -120,6 +133,18 @@ def run_gdrn_inference(
             out_res=output_res)
         return t_ref
 
+    if mesh is not None:
+        from ..parallel import batch_sharding, replicated_sharding
+        b_sh = batch_sharding(mesh)
+        r_sh = replicated_sharding(mesh)
+        # params replicated; per-ROI arrays sharded over the data axis;
+        # full images replicated (every ROI may gather any image)
+        params = jax.device_put(params, r_sh)
+        put_b = lambda x: jax.device_put(jnp.asarray(x), b_sh)
+        put_r = lambda x: jax.device_put(jnp.asarray(x), r_sh)
+    else:
+        put_b = put_r = jnp.asarray
+
     results = []
     per_image_rows: Dict[tuple, list] = {}
     n_instances = 0
@@ -128,15 +153,18 @@ def run_gdrn_inference(
     rng = jax.random.PRNGKey(0)
     for batch in batches:
         t0 = time.perf_counter()
-        Ks_j = jnp.asarray(batch["Ks"])
-        labels_j = jnp.asarray(batch["labels"])
+        Ks_j = put_b(batch["Ks"])
+        labels_j = put_b(batch["labels"])
+        if with_depth_input:
+            assert "depths" in batch, "dstream model needs depth test batches"
         rot, trans, extra = step(
             params,
-            jnp.asarray(batch["images"]),
-            jnp.asarray(batch["img_idx"]),
-            jnp.asarray(batch["boxes_xyxy"]),
+            put_r(batch["images"]),
+            put_b(batch["img_idx"]),
+            put_b(batch["boxes_xyxy"]),
             Ks_j,
-            labels_j)
+            labels_j,
+            depths=(put_r(batch["depths"]) if with_depth_input else None))
         if post_mode in ("ransac_pnp", "uncertainty_pnp"):
             im_h, im_w = batch["images"].shape[1:3]
             im_wh = jnp.broadcast_to(

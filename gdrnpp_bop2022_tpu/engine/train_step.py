@@ -30,6 +30,7 @@ def _forward_outputs(state, params, batch, cfg, rngs=None, train=True, progress=
         roi_whs=batch["roi_whs"],
         roi_extents=batch["roi_extents"],
         resize_ratios=batch["resize_ratios"],
+        roi_depth=batch.get("roi_depth"),
         deterministic=not train,
         progress=progress,
         train=train,

@@ -106,7 +106,9 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
         dzi_type=cfg.input.dzi_type,
         bbox_type=cfg.model.bbox_type,
         seed=cfg.train.seed,
-        bg_paths=bg_paths)
+        bg_paths=bg_paths,
+        truncate_fg=cfg.input.truncate_fg,
+        with_depth=cfg.input.with_depth)
 
     verts = jnp.asarray(model_bank.verts)
     faces = jnp.asarray(model_bank.faces)
@@ -128,11 +130,13 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
     def prep(host_batch, key):
         from ..ops.color_aug import cosy_aae_color_aug, replace_background
         images = jnp.asarray(host_batch["images"])
-        k_bg, k_color = jax.random.split(key)
+        k_bg, k_color, k_depth = jax.random.split(key, 3)
         if cfg.input.change_bg_prob > 0 and "bg_images" in host_batch:
+            # fg_masks is the (possibly fg-truncated) visible mask
+            # (reference replace_bg + trunc_mask, base_data_loader.py:413-478)
             images = replace_background(
                 k_bg, images.astype(jnp.float32),
-                jnp.asarray(host_batch["mask_visib"]),
+                jnp.asarray(host_batch["fg_masks"]),
                 jnp.asarray(host_batch["bg_images"]),
                 prob=cfg.input.change_bg_prob)
         if cfg.input.color_aug.prob > 0:
@@ -148,6 +152,34 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
             jnp.asarray(host_batch["mask_idx"]),
             verts, faces, fps_pts, extents, **prep_args)
         batch["gt_points"] = jnp.take(points, batch["roi_labels"], axis=0)
+        if cfg.input.truncate_fg and "fg_masks" in host_batch:
+            # reference mask_trunc = mask_visib * trunc_mask
+            # (data_loader.py:522-532) — fold the truncation into the
+            # trunc-mask GT at crop resolution
+            from ..ops.crop import roi_crop_resize
+            tm = roi_crop_resize(
+                jnp.asarray(host_batch["fg_masks"])[..., None],
+                jnp.asarray(host_batch["centers"]),
+                jnp.asarray(host_batch["scales"]),
+                prep_args["output_res"], method="nearest")[..., 0]
+            batch["gt_mask_trunc"] = batch["gt_mask_trunc"] * tm
+        if cfg.input.with_depth:
+            from ..ops.depth_aug import gdrn_depth_aug
+            from .batching import build_depth_rois
+            depths = jnp.asarray(host_batch["depths"])
+            if cfg.input.depth_aug:
+                depths = gdrn_depth_aug(
+                    k_depth, depths,
+                    drop_prob=cfg.input.drop_depth_prob,
+                    drop_ratio=cfg.input.drop_depth_ratio,
+                    noise_prob=cfg.input.add_noise_depth_prob,
+                    noise_level=cfg.input.add_noise_depth_level)
+            batch["roi_depth"] = build_depth_rois(
+                depths, jnp.asarray(host_batch["img_idx"]),
+                jnp.asarray(host_batch["centers"]),
+                jnp.asarray(host_batch["scales"]),
+                jnp.asarray(host_batch["Ks"]),
+                input_res=pc.input_res, bp_depth=cfg.input.bp_depth)
         return batch
 
     batch0 = prep(host, jax.random.PRNGKey(0))
@@ -155,7 +187,8 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
         {"params": jax.random.PRNGKey(cfg.train.seed)},
         batch0["roi_img"], batch0["roi_labels"], batch0["roi_coord_2d"],
         batch0["roi_cams"], batch0["roi_centers"], batch0["roi_whs"],
-        batch0["roi_extents"], batch0["resize_ratios"])
+        batch0["roi_extents"], batch0["resize_ratios"],
+        roi_depth=batch0.get("roi_depth"))
     state = create_train_state(model.apply, variables["params"], tx,
                                ema_decay=cfg.model.ema_decay,
                                ema_warmup=cfg.model.ema_warmup_updates)

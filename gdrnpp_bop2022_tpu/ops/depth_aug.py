@@ -32,6 +32,41 @@ def add_noise_depth(key: jax.Array, depth: jax.Array,
     return out
 
 
+@jax.jit
+def gdrn_depth_aug(key: jax.Array, depth: jax.Array,
+                   fill_std: float = 0.1,
+                   drop_prob: float = 0.5, drop_ratio: float = 0.2,
+                   noise_prob: float = 0.9, noise_level: float = 0.005):
+    """The reference's train-time depth corruption, batched on device
+    (reference: data_loader.py:414-427 + core/utils/depth_aug.py
+    add_noise_depth):
+
+      1. zero pixels are filled with N(median_of_zeros, fill_std) — the
+         median of the zero region is 0, so this injects near-zero noise;
+      2. with probability ``drop_prob`` (per batch element) a per-pixel
+         keep mask ``uniform > drop_ratio`` zeroes ~drop_ratio of pixels;
+      3. with probability ``noise_prob`` gaussian noise of a per-image
+         level ~ U(0, noise_level) is added to valid (>0) pixels.
+
+    depth: (B, H, W) meters. Coin flips are per batch element where the
+    reference flips per image — same distribution over a batch.
+    """
+    B = depth.shape[0]
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    zero = depth <= 0.0
+    filled = jnp.where(zero, fill_std * jax.random.normal(k1, depth.shape), depth)
+
+    do_drop = jax.random.uniform(k2, (B, 1, 1)) < drop_prob
+    keep = jax.random.uniform(k3, depth.shape) > drop_ratio
+    dropped = jnp.where(do_drop & ~keep, 0.0, filled)
+
+    do_noise = jax.random.uniform(k4, (B, 1, 1)) < noise_prob
+    level = jax.random.uniform(k5, (B, 1, 1), maxval=noise_level)
+    gauss = level * jax.random.normal(k6, depth.shape)
+    valid = dropped > 0.0
+    return jnp.where(do_noise & valid, dropped + gauss, dropped)
+
+
 @partial(jax.jit, static_argnames=("radius",))
 def bilateral_depth_smooth(depth: jax.Array, radius: int = 2,
                            sigma_space: float = 1.5,
