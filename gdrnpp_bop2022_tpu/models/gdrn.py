@@ -27,12 +27,14 @@ from ..geometry.se3 import (
 )
 from .backbones.convnext import convnext_tiny, convnext_small, convnext_base
 from .backbones.resnet import resnet34, resnet50
-from .heads.top_down_head import (TopDownDoubleMaskXyzRegionHead,
+from .heads.top_down_head import (ConvMaskXyzRegionHead,
+                                  FPNMaskXyzRegionHead,
+                                  TopDownDoubleMaskXyzRegionHead,
                                   TopDownMaskXyzRegionHead)
 from .heads.conv_pnp_net import ConvPnPNet
 
 
-def _build_backbone(cfg: PoseNetConfig, dtype):
+def _build_backbone(cfg: PoseNetConfig, dtype, out_indices=None):
     name = cfg.backbone.name
     builders = {
         "convnext_tiny": convnext_tiny,
@@ -43,7 +45,12 @@ def _build_backbone(cfg: PoseNetConfig, dtype):
     }
     if name not in builders:
         raise ValueError(f"Unknown backbone: {name}")
-    return builders[name](out_indices=(cfg.backbone.out_index,), dtype=dtype)
+    kw = {}
+    if "convnext" in name:
+        kw["gelu_exact"] = cfg.backbone.gelu_exact
+    if out_indices is None:
+        out_indices = (cfg.backbone.out_index,)
+    return builders[name](out_indices=out_indices, dtype=dtype, **kw)
 
 
 def xyz_mask_region_out_dims(cfg: PoseNetConfig) -> tuple[int, int, int]:
@@ -99,21 +106,43 @@ class GDRN(nn.Module):
         xyz_dim, mask_dim, region_dim = xyz_mask_region_out_dims(pc)
         self._dims = (xyz_dim, mask_dim, region_dim)
         nc = pc.num_classes
-        self.backbone = _build_backbone(pc, self.dtype)
+        # the FPN geo head consumes ALL stage features (strides 4..32)
+        bb_out = ((0, 1, 2, 3) if pc.geo_head.name == "fpn_mask_xyz_region"
+                  else None)
+        self.backbone = _build_backbone(pc, self.dtype, out_indices=bb_out)
         # RGB-D dual-stream variant (reference GDRN_Dstream_double_mask.py:37):
         # a second backbone over backprojected depth, fused by concat or
         # ConvFuseNet (reference fusenets/conv_fuse_net.py)
         self.depth_backbone = (_build_backbone(pc, self.dtype)
                                if "dstream" in pc.name else None)
+        assert not (self.depth_backbone is not None
+                    and pc.geo_head.name == "fpn_mask_xyz_region"), \
+            "dstream fusion is single-scale; use a top-down/conv geo head"
         self.fuse_net = None
         if self.depth_backbone is not None and pc.fuse_type == "conv":
             from .heads.point_pnp_net import ConvFuseNet
             self.fuse_net = ConvFuseNet(dtype=self.dtype)
         gh = pc.geo_head
-        head_cls = (TopDownMaskXyzRegionHead
-                    if gh.name == "top_down_mask_xyz_region"
-                    else TopDownDoubleMaskXyzRegionHead)
-        single_mask = head_cls is TopDownMaskXyzRegionHead
+        head_registry = {
+            "top_down_doublemask_xyz_region": TopDownDoubleMaskXyzRegionHead,
+            "top_down_mask_xyz_region": TopDownMaskXyzRegionHead,
+            # conv-only + Panoptic-FPN variants
+            # (reference: heads/conv_mask_xyz_region_head.py,
+            #  heads/fpn_mask_xyz_region_head.py) — both single-mask
+            "conv_mask_xyz_region": ConvMaskXyzRegionHead,
+            "fpn_mask_xyz_region": FPNMaskXyzRegionHead,
+        }
+        if gh.name not in head_registry:
+            raise ValueError(f"Unknown geo_head.name: {gh.name!r}; "
+                             f"expected one of {sorted(head_registry)}")
+        head_cls = head_registry[gh.name]
+        single_mask = head_cls is not TopDownDoubleMaskXyzRegionHead
+        # cls2reg decodes binned coords via soft-argmax
+        # (reference GDRN_cls2reg.py:142-148)
+        self._cls2reg = "cls2reg" in pc.name
+        if self._cls2reg:
+            assert pc.loss.xyz_loss_type in ("CE_coor", "CE"), \
+                "gdrn_cls2reg requires binned (CE) xyz outputs"
         self.geo_head = head_cls(
             up_types=gh.up_types,
             deconv_kernel_size=gh.deconv_kernel_size,
@@ -134,12 +163,38 @@ class GDRN(nn.Module):
         )
         pn = pc.pnp_net
         rot_dim = 6 if "rot6d" in pn.rot_type else 4
+        # explicit registry: unknown names must fail loudly, not fall back
+        # to ConvPnPNet (reference get_pnp_net registry, model_utils.py:197)
+        known_pnp = ("conv_pnp_net", "conv_pnp_net_cls", "point_pnp",
+                     "simple_point_pnp")
+        if pn.name not in known_pnp:
+            raise ValueError(f"Unknown pnp_net.name: {pn.name!r}; "
+                             f"expected one of {known_pnp}")
+        self._pnp_cls_aware = pn.name == "conv_pnp_net_cls"
         if pn.name in ("point_pnp", "simple_point_pnp"):
             from .heads.point_pnp_net import SimplePointPnPNet
             self.pnp_net = SimplePointPnPNet(
                 rot_dim=rot_dim,
                 mask_attention=pn.mask_attention,
                 denormalize_by_extent=pn.denormalize_by_extent,
+                dtype=self.dtype,
+            )
+        elif pn.name == "conv_pnp_net_cls":
+            from .heads.conv_pnp_net import ConvPnPNetCls
+            self.pnp_net = ConvPnPNetCls(
+                num_classes=nc,
+                featdim=pn.featdim,
+                rot_dim=rot_dim,
+                num_stride2_layers=pn.num_stride2_layers,
+                num_extra_layers=pn.num_extra_layers,
+                norm=pn.norm,
+                num_gn_groups=pn.num_gn_groups,
+                act=pn.act,
+                drop_prob=pn.drop_prob,
+                dropblock_size=pn.dropblock_size,
+                flat_op=pn.flat_op,
+                denormalize_by_extent=pn.denormalize_by_extent,
+                mask_attention=pn.mask_attention,
                 dtype=self.dtype,
             )
         else:
@@ -186,6 +241,8 @@ class GDRN(nn.Module):
                                         deterministic=deterministic)
             if self.fuse_net is not None:
                 feat = self.fuse_net(feat, dfeat)
+            elif pc.fuse_type == "add":
+                feat = feat + dfeat
             else:
                 feat = jnp.concatenate([feat, dfeat], axis=-1)
         # class-aware selection happens INSIDE the head via the weight-
@@ -197,7 +254,15 @@ class GDRN(nn.Module):
         region = geo["region"]
 
         # coordinate feature for the PnP head -----------------------------
-        if coor_x.shape[-1] > 1:
+        if coor_x.shape[-1] > 1 and self._cls2reg:
+            # cls2reg: near-hard soft-argmax collapses the bins to a single
+            # regression value per pixel (reference GDRN_cls2reg.py:142-148,
+            # soft_argmax over ALL bins incl. the trailing bg bin)
+            from .layers import soft_argmax
+            coor_feat = jnp.concatenate(
+                [soft_argmax(coor_x), soft_argmax(coor_y),
+                 soft_argmax(coor_z)], axis=-1)
+        elif coor_x.shape[-1] > 1:
             # binned: softmax over bins, excluding the trailing bg bin
             cx = jax.nn.softmax(coor_x[..., :-1], axis=-1)
             cy = jax.nn.softmax(coor_y[..., :-1], axis=-1)
@@ -219,10 +284,13 @@ class GDRN(nn.Module):
         if pn.mask_attention != "none":
             mask_atten = get_mask_prob(vis_mask, pc.loss.mask_loss_type)
 
+        pnp_kwargs = {}
+        if self._pnp_cls_aware:
+            pnp_kwargs["labels"] = roi_labels
         pred_rot_, pred_t_ = self.pnp_net(
             coor_feat, region=region_atten, extents=roi_extents,
             mask_attention=mask_atten, deterministic=deterministic,
-            progress=progress)
+            progress=progress, **pnp_kwargs)
 
         if "rot6d" in pn.rot_type:
             rot_allo = rot6d_to_mat(pred_rot_)

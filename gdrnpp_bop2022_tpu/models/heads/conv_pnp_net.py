@@ -118,7 +118,18 @@ class ConvPnPNetCls(ConvPnPNet):
             xyz = (coor_feat[..., :3] - 0.5) * extents[:, None, None, :].astype(coor_feat.dtype)
             coor_feat = jnp.concatenate([xyz, coor_feat[..., 3:]], axis=-1)
         x = coor_feat if region is None else jnp.concatenate([coor_feat, region], axis=-1)
+        if self.mask_attention != "none":
+            assert mask_attention is not None
+            if self.mask_attention == "mul":
+                x = x * mask_attention
+            elif self.mask_attention == "concat":
+                x = jnp.concatenate([x, mask_attention], axis=-1)
+            else:
+                raise ValueError(f"Wrong mask attention type: {self.mask_attention}")
         x = x.astype(self.dtype)
+        if self.drop_prob > 0:
+            x = DropBlock2D(self.drop_prob, self.dropblock_size)(
+                x, deterministic=deterministic, progress=progress)
         for i in range(self.num_stride2_layers):
             x = ConvModule(self.featdim, kernel_size=3, strides=2, norm=self.norm,
                            num_gn_groups=self.num_gn_groups, act=self.act,

@@ -92,16 +92,23 @@ class TopDownDoubleMaskXyzRegionHead(nn.Module):
             ("region", self.region_out_dim, self.region_num_classes),
         ]
 
-    @nn.compact
-    def __call__(self, x, labels: Optional[jax.Array] = None,
-                 deterministic: bool = True):
-        del deterministic
+    def _trunk(self, x):
+        """Feature trunk (stride 32 -> 4 top-down decoder). Subclasses
+        (conv-only, FPN) override this; submodule creation is legal here
+        because it runs inside __call__'s compact context."""
         for i, up_type in enumerate(self.up_types):
             x = _UpBlock(self.feat_dim, up_type=up_type,
                          deconv_kernel_size=self.deconv_kernel_size,
                          num_conv_per_block=self.num_conv_per_block,
                          norm=self.norm, num_gn_groups=self.num_gn_groups,
                          act=self.act, dtype=self.dtype, name=f"up{i}")(x)
+        return x
+
+    @nn.compact
+    def __call__(self, x, labels: Optional[jax.Array] = None,
+                 deterministic: bool = True):
+        del deterministic
+        x = self._trunk(x)
 
         layout = self._group_layout()
         total = sum(d * n for _, d, n in layout)
@@ -184,3 +191,45 @@ class TopDownMaskXyzRegionHead(TopDownDoubleMaskXyzRegionHead):
     """Single-mask variant (reference: top_down_mask_xyz_region_head.py) —
     same decoder, only the visible mask channels."""
     double_mask: bool = False
+
+
+class ConvMaskXyzRegionHead(TopDownDoubleMaskXyzRegionHead):
+    """Conv-only geo head (reference: heads/conv_mask_xyz_region_head.py):
+    no upsampling — num_feat_layers ConvModules at the input stride, then
+    the shared class-aware out conv. Single-mask by reference default."""
+    num_feat_layers: int = 2
+    double_mask: bool = False
+
+    def _trunk(self, x):
+        for i in range(self.num_feat_layers):
+            x = ConvModule(self.feat_dim, kernel_size=3, norm=self.norm,
+                           num_gn_groups=self.num_gn_groups, act=self.act,
+                           dtype=self.dtype, name=f"conv{i}")(x)
+        return x
+
+
+class FPNMaskXyzRegionHead(TopDownDoubleMaskXyzRegionHead):
+    """Semantic-FPN geo head (reference: heads/fpn_mask_xyz_region_head.py,
+    Panoptic FPN scale heads): per-level conv(+GN+act)+2x-upsample chains
+    summed at the finest level, then the shared class-aware out conv.
+    Input is the LIST of stage features, finest first. Single-mask."""
+    feature_strides: Tuple[int, ...] = (4, 8, 16, 32)
+    double_mask: bool = False
+
+    def _trunk(self, feats):
+        assert isinstance(feats, (list, tuple)) and \
+            len(feats) == len(self.feature_strides)
+        import numpy as _np
+        s0 = self.feature_strides[0]
+        out = None
+        for i, (f, stride) in enumerate(zip(feats, self.feature_strides)):
+            steps = max(1, int(_np.log2(stride) - _np.log2(s0)))
+            x = f
+            for k in range(steps):
+                x = ConvModule(self.feat_dim, kernel_size=3, norm=self.norm,
+                               num_gn_groups=self.num_gn_groups, act=self.act,
+                               dtype=self.dtype, name=f"scale{i}_conv{k}")(x)
+                if stride != s0:
+                    x = upsample2x(x, method="bilinear")
+            out = x if out is None else out + x
+        return out

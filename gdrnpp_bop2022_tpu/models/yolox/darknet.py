@@ -24,18 +24,33 @@ class ConvBnAct(nn.Module):
     strides: int = 1
     groups: int = 1
     act: bool = True
+    norm: str = "GN"    # GN (TPU default) | BN (released-weights parity;
+                        # reference BaseConv uses BatchNorm2d eps=1e-3,
+                        # momentum=0.03, network_blocks.py:32-47)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
+        # torch-style explicit padding (matters for stride-2 convs on even
+        # inputs: SAME pads (0,1), torch pads (p,p))
+        p = (self.kernel_size - 1) // 2
         x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
-                    strides=(self.strides, self.strides), padding="SAME",
+                    strides=(self.strides, self.strides),
+                    padding=((p, p), (p, p)),
                     feature_group_count=self.groups, use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         orig = x.dtype
-        x = nn.GroupNorm(num_groups=min(32, x.shape[-1]),
-                         dtype=jnp.float32, param_dtype=jnp.float32)(
-                             x.astype(jnp.float32)).astype(orig)
+        if self.norm == "BN":
+            # train mode iff batch_stats is mutable in this apply
+            use_ra = not self.is_mutable_collection("batch_stats")
+            x = nn.BatchNorm(use_running_average=use_ra, momentum=0.97,
+                             epsilon=1e-3, dtype=jnp.float32,
+                             param_dtype=jnp.float32)(
+                                 x.astype(jnp.float32)).astype(orig)
+        else:
+            x = nn.GroupNorm(num_groups=min(32, x.shape[-1]),
+                             dtype=jnp.float32, param_dtype=jnp.float32)(
+                                 x.astype(jnp.float32)).astype(orig)
         return nn.silu(x) if self.act else x
 
 
@@ -43,13 +58,14 @@ class DWConv(nn.Module):
     features: int
     kernel_size: int = 3
     strides: int = 1
+    norm: str = "GN"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         x = ConvBnAct(x.shape[-1], self.kernel_size, self.strides,
-                      groups=x.shape[-1], dtype=self.dtype, name="dconv")(x)
-        return ConvBnAct(self.features, 1, 1, dtype=self.dtype, name="pconv")(x)
+                      groups=x.shape[-1], norm=self.norm, dtype=self.dtype, name="dconv")(x)
+        return ConvBnAct(self.features, 1, 1, norm=self.norm, dtype=self.dtype, name="pconv")(x)
 
 
 class Bottleneck(nn.Module):
@@ -57,14 +73,15 @@ class Bottleneck(nn.Module):
     shortcut: bool = True
     expansion: float = 0.5
     depthwise: bool = False
+    norm: str = "GN"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         hidden = int(self.features * self.expansion)
-        y = ConvBnAct(hidden, 1, dtype=self.dtype, name="conv1")(x)
+        y = ConvBnAct(hidden, 1, norm=self.norm, dtype=self.dtype, name="conv1")(x)
         Conv = DWConv if self.depthwise else ConvBnAct
-        y = Conv(self.features, 3, dtype=self.dtype, name="conv2")(y)
+        y = Conv(self.features, 3, norm=self.norm, dtype=self.dtype, name="conv2")(y)
         if self.shortcut and x.shape[-1] == self.features:
             y = y + x
         return y
@@ -76,34 +93,36 @@ class CSPLayer(nn.Module):
     shortcut: bool = True
     expansion: float = 0.5
     depthwise: bool = False
+    norm: str = "GN"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         hidden = int(self.features * self.expansion)
-        a = ConvBnAct(hidden, 1, dtype=self.dtype, name="conv1")(x)
-        b = ConvBnAct(hidden, 1, dtype=self.dtype, name="conv2")(x)
+        a = ConvBnAct(hidden, 1, norm=self.norm, dtype=self.dtype, name="conv1")(x)
+        b = ConvBnAct(hidden, 1, norm=self.norm, dtype=self.dtype, name="conv2")(x)
         for i in range(self.n):
             a = Bottleneck(hidden, self.shortcut, 1.0, self.depthwise,
-                           dtype=self.dtype, name=f"m{i}")(a)
+                           norm=self.norm, dtype=self.dtype, name=f"m{i}")(a)
         out = jnp.concatenate([a, b], axis=-1)
-        return ConvBnAct(self.features, 1, dtype=self.dtype, name="conv3")(out)
+        return ConvBnAct(self.features, 1, norm=self.norm, dtype=self.dtype, name="conv3")(out)
 
 
 class SPPBottleneck(nn.Module):
     features: int
     kernel_sizes: Tuple[int, ...] = (5, 9, 13)
+    norm: str = "GN"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         hidden = x.shape[-1] // 2
-        x = ConvBnAct(hidden, 1, dtype=self.dtype, name="conv1")(x)
+        x = ConvBnAct(hidden, 1, norm=self.norm, dtype=self.dtype, name="conv1")(x)
         pools = [x] + [
             nn.max_pool(x, (k, k), strides=(1, 1), padding="SAME")
             for k in self.kernel_sizes]
         x = jnp.concatenate(pools, axis=-1)
-        return ConvBnAct(self.features, 1, dtype=self.dtype, name="conv2")(x)
+        return ConvBnAct(self.features, 1, norm=self.norm, dtype=self.dtype, name="conv2")(x)
 
 
 def focus_rearrange(x: jax.Array) -> jax.Array:
@@ -119,6 +138,7 @@ class CSPDarknet(nn.Module):
     dep_mul: float = 1.0
     wid_mul: float = 1.0
     depthwise: bool = False
+    norm: str = "GN"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -128,26 +148,26 @@ class CSPDarknet(nn.Module):
 
         # stem (Focus)
         x = focus_rearrange(x)
-        x = ConvBnAct(base_c, 3, dtype=self.dtype, name="stem")(x)
+        x = ConvBnAct(base_c, 3, norm=self.norm, dtype=self.dtype, name="stem")(x)
 
-        x = ConvBnAct(base_c * 2, 3, 2, dtype=self.dtype, name="dark2_conv")(x)
+        x = ConvBnAct(base_c * 2, 3, 2, norm=self.norm, dtype=self.dtype, name="dark2_conv")(x)
         x = CSPLayer(base_c * 2, base_d, depthwise=self.depthwise,
-                     dtype=self.dtype, name="dark2_csp")(x)
+                     norm=self.norm, dtype=self.dtype, name="dark2_csp")(x)
 
-        x = ConvBnAct(base_c * 4, 3, 2, dtype=self.dtype, name="dark3_conv")(x)
+        x = ConvBnAct(base_c * 4, 3, 2, norm=self.norm, dtype=self.dtype, name="dark3_conv")(x)
         x = CSPLayer(base_c * 4, base_d * 3, depthwise=self.depthwise,
-                     dtype=self.dtype, name="dark3_csp")(x)
+                     norm=self.norm, dtype=self.dtype, name="dark3_csp")(x)
         d3 = x
 
-        x = ConvBnAct(base_c * 8, 3, 2, dtype=self.dtype, name="dark4_conv")(x)
+        x = ConvBnAct(base_c * 8, 3, 2, norm=self.norm, dtype=self.dtype, name="dark4_conv")(x)
         x = CSPLayer(base_c * 8, base_d * 3, depthwise=self.depthwise,
-                     dtype=self.dtype, name="dark4_csp")(x)
+                     norm=self.norm, dtype=self.dtype, name="dark4_csp")(x)
         d4 = x
 
-        x = ConvBnAct(base_c * 16, 3, 2, dtype=self.dtype, name="dark5_conv")(x)
-        x = SPPBottleneck(base_c * 16, dtype=self.dtype, name="dark5_spp")(x)
+        x = ConvBnAct(base_c * 16, 3, 2, norm=self.norm, dtype=self.dtype, name="dark5_conv")(x)
+        x = SPPBottleneck(base_c * 16, norm=self.norm, dtype=self.dtype, name="dark5_spp")(x)
         x = CSPLayer(base_c * 16, base_d, shortcut=False,
-                     depthwise=self.depthwise, dtype=self.dtype,
+                     depthwise=self.depthwise, norm=self.norm, dtype=self.dtype,
                      name="dark5_csp")(x)
         d5 = x
         return {"dark3": d3, "dark4": d4, "dark5": d5}

@@ -27,6 +27,7 @@ class YOLOXHead(nn.Module):
     wid_mul: float = 1.0
     strides: Tuple[int, ...] = (8, 16, 32)
     depthwise: bool = False
+    norm: str = "GN"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -37,14 +38,14 @@ class YOLOXHead(nn.Module):
         Conv = DWConv if self.depthwise else ConvBnAct
         outs = []
         for i, f in enumerate(feats):
-            x = ConvBnAct(hidden, 1, dtype=self.dtype, name=f"stem{i}")(f)
-            c = Conv(hidden, 3, dtype=self.dtype, name=f"cls{i}_0")(x)
-            c = Conv(hidden, 3, dtype=self.dtype, name=f"cls{i}_1")(c)
+            x = ConvBnAct(hidden, 1, norm=self.norm, dtype=self.dtype, name=f"stem{i}")(f)
+            c = Conv(hidden, 3, norm=self.norm, dtype=self.dtype, name=f"cls{i}_0")(x)
+            c = Conv(hidden, 3, norm=self.norm, dtype=self.dtype, name=f"cls{i}_1")(c)
             cls_out = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
                               param_dtype=jnp.float32, name=f"cls_pred{i}")(
                                   c.astype(jnp.float32))
-            r = Conv(hidden, 3, dtype=self.dtype, name=f"reg{i}_0")(x)
-            r = Conv(hidden, 3, dtype=self.dtype, name=f"reg{i}_1")(r)
+            r = Conv(hidden, 3, norm=self.norm, dtype=self.dtype, name=f"reg{i}_0")(x)
+            r = Conv(hidden, 3, norm=self.norm, dtype=self.dtype, name=f"reg{i}_1")(r)
             reg_out = nn.Conv(4, (1, 1), dtype=jnp.float32,
                               param_dtype=jnp.float32, name=f"reg_pred{i}")(
                                   r.astype(jnp.float32))

@@ -34,21 +34,25 @@ class YOLOX(nn.Module):
     wid_mul: float = 1.25
     strides: Tuple[int, ...] = (8, 16, 32)
     depthwise: bool = False
+    norm: str = "GN"    # GN (TPU default) | BN (released-weights parity)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, images: jax.Array):
         """images (B, H, W, 3) normalized. Returns raw per-level outputs."""
         feats = YOLOPAFPN(self.dep_mul, self.wid_mul, self.depthwise,
-                          dtype=self.dtype, name="pafpn")(images)
+                          norm=self.norm, dtype=self.dtype,
+                          name="pafpn")(images)
         return YOLOXHead(self.num_classes, self.wid_mul, self.strides,
-                         self.depthwise, dtype=self.dtype, name="head")(feats)
+                         self.depthwise, norm=self.norm, dtype=self.dtype,
+                         name="head")(feats)
 
 
 def build_yolox(num_classes: int, size: str = "yolox_x",
-                dtype=jnp.bfloat16) -> YOLOX:
+                norm: str = "GN", dtype=jnp.bfloat16) -> YOLOX:
     d, w = _SIZES[size]
-    return YOLOX(num_classes=num_classes, dep_mul=d, wid_mul=w, dtype=dtype)
+    return YOLOX(num_classes=num_classes, dep_mul=d, wid_mul=w, norm=norm,
+                 dtype=dtype)
 
 
 def tta_inference(model, params, image: jax.Array,
