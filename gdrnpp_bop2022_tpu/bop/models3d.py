@@ -21,7 +21,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from .inout import load_json, load_ply
-from ..geometry.symmetry import get_symmetry_rotations
+from ..geometry.symmetry import get_symmetry_transformations
 
 
 def load_models_info(models_dir: str) -> dict:
@@ -116,6 +116,7 @@ class ModelBank:
     extents: np.ndarray        # (C, 3) bbox extents
     diameters: np.ndarray      # (C,)
     sym_rotations: list        # per-class list of (S_c, 3, 3) or None
+    sym_translations: list     # per-class list of (S_c, 3) meters or None
     centers: np.ndarray = None  # (C, 3) bbox centers
 
     @classmethod
@@ -133,7 +134,7 @@ class ModelBank:
         if obj_ids is None:
             obj_ids = sorted(infos.keys())
         verts_list, faces_list, pts_list, fps_list = [], [], [], []
-        extents, diameters, sym_rots = [], [], []
+        extents, diameters, sym_rots, sym_ts = [], [], [], []
         centers = []
         for oid in obj_ids:
             ply = load_ply(os.path.join(models_dir, f"obj_{oid:06d}.ply"),
@@ -154,9 +155,15 @@ class ModelBank:
                 info["min_y"] + info["size_y"] / 2.0,
                 info["min_z"] + info["size_z"] / 2.0]) * vertex_scale)
             if "symmetries_discrete" in info or "symmetries_continuous" in info:
-                sym_rots.append(get_symmetry_rotations(info, max_sym_disc_step))
+                trans = get_symmetry_transformations(info, max_sym_disc_step)
+                sym_rots.append(np.stack([t["R"] for t in trans]))
+                # BOP symmetries are full 4x4 transforms; translations are in
+                # model units (mm) -> scale to meters with the vertices
+                sym_ts.append(np.stack([t["t"].ravel() for t in trans])
+                              * vertex_scale)
             else:
                 sym_rots.append(None)
+                sym_ts.append(None)
 
         C = len(obj_ids)
         Vmax = max(len(v) for v in verts_list)
@@ -175,6 +182,7 @@ class ModelBank:
             extents=np.stack(extents).astype(np.float32),
             diameters=np.asarray(diameters, np.float32),
             sym_rotations=sym_rots,
+            sym_translations=sym_ts,
             centers=np.stack(centers).astype(np.float32),
         )
 

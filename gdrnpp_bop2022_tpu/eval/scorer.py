@@ -12,9 +12,13 @@ scorer. Error grids follow eval_pose_results_more.py:41-83:
 Also reports the custom ad/adi/re/te/proj recalls
 (gdrn_custom_evaluator.py:622-760).
 
-Matching: per (scene, im, obj), estimates sorted by score are greedily
-assigned to the valid GT instance (visib_fract >= 0.1) minimizing the
-error, each GT used once (BOP toolkit pose_matching semantics).
+Matching follows the BOP toolkit EXACTLY (lib/pysixd/pose_matching.py:9-91
+match_poses): matching is re-run PER CORRECTNESS THRESHOLD — estimates
+sorted by score are each assigned the unmatched valid GT with the LOWEST
+error among those with error < threshold. For vsd every (tau, threshold)
+pair is its own correctness definition with its own matching. Recall =
+matched / total valid GT instances (score.py:112-113 total recall), and
+AR_x averages recall over x's threshold grid.
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ import jax.numpy as jnp
 
 from .pose_error import (add_batch, adi_batch, re_batch, te_batch, proj_batch,
                          mssd_batch, mspd_batch)
-from .vsd import vsd_batch
+from .vsd import vsd_dispatch
 
 MSSD_THS = np.arange(0.05, 0.51, 0.05)
 MSPD_THS = np.arange(5, 51, 5)
@@ -54,6 +58,7 @@ def score_bop_results(
     visib_gt_min: float = 0.1,
     n_top: int = -1,
     errors=("mssd", "mspd", "vsd"),
+    vsd_mode: str = "auto",       # auto | window | full (see eval/vsd.py)
 ) -> Dict[str, float]:
     """Compute BOP AR scores (+ aux recalls). Returns a metrics dict."""
     label_of = {oid: i for i, oid in enumerate(model_bank.obj_ids)}
@@ -67,9 +72,13 @@ def score_bop_results(
     do_vsd = "vsd" in errors and depth_test_getter is not None
     r_mspd = im_width / 640.0
 
-    # per-error accumulators: list of per-target-instance "best error" rows
-    err_rows = {e: [] for e in ("mssd", "mspd", "add", "adi", "re", "te", "proj")}
-    vsd_rows = []   # (T_taus,) arrays
+    # per-threshold true-positive counters (toolkit-exact per-threshold
+    # matching) + per-instance aux error rows
+    mssd_tp = np.zeros(len(MSSD_THS))
+    mspd_tp = np.zeros(len(MSPD_THS))
+    vsd_tp = np.zeros((len(VSD_TAUS), len(VSD_THS)))
+    mssd_tar = mspd_tar = vsd_tar = 0
+    err_rows = {e: [] for e in ("add", "adi", "re", "te", "proj")}
 
     for tgt in targets:
         key = (int(tgt["scene_id"]), int(tgt["im_id"]), int(tgt["obj_id"]))
@@ -85,30 +94,36 @@ def score_bop_results(
         sym = model_bank.sym_rotations[label]
         syms_R = np.stack([np.eye(3, dtype=np.float32)] if sym is None
                           else list(sym)).astype(np.float32)
-        S = len(syms_R)
+        sym_t = getattr(model_bank, "sym_translations", None)
+        sym_t = None if sym_t is None else sym_t[label]
+        syms_t = (np.zeros((len(syms_R), 3), np.float32) if sym_t is None
+                  else np.asarray(sym_t, np.float32))
 
         n_gt = len(gt_list)
-        matched_gt = set()
-        # build full est x gt error tables (mssd as the matching error,
-        # following BOP which matches per error type; we match per type below)
-        for e_name in [e for e in ("mssd", "mspd") if e in errors]:
-            matched = _greedy_match(
-                ests, gt_list, e_name, pts, syms_R, model_bank, label,
-                r_mspd=r_mspd)
-            for err in matched:     # one per matched gt (unmatched -> inf)
-                err_rows[e_name].append((err, diam))
-            # unmatched gt instances count as misses
-            for _ in range(n_gt - len(matched)):
-                err_rows[e_name].append((np.inf, diam))
-
+        if "mssd" in errors:
+            table = _error_table(ests, gt_list, "mssd", pts, syms_R, syms_t)
+            mssd_tar += n_gt
+            if table is not None:
+                for k, th in enumerate(MSSD_THS):
+                    mssd_tp[k] += match_count(table, th * diam)
+        if "mspd" in errors:
+            table = _error_table(ests, gt_list, "mspd", pts, syms_R, syms_t)
+            mspd_tar += n_gt
+            if table is not None:
+                for k, th in enumerate(MSPD_THS):
+                    mspd_tp[k] += match_count(table, th * r_mspd)
         if do_vsd:
-            vsd_rows.extend(_vsd_match(
-                ests, gt_list, key, pts, model_bank, label, diam,
-                depth_test_getter, vsd_delta))
-            for _ in range(n_gt - min(len(ests), n_gt)):
-                vsd_rows.append(np.full(len(VSD_TAUS), np.inf))
+            tabs = _vsd_tables(ests, gt_list, key, model_bank, label, diam,
+                               depth_test_getter, vsd_delta, vsd_mode)
+            if tabs is not False:   # False: depth unavailable -> skip target
+                vsd_tar += n_gt
+                if tabs is not None:
+                    for ti in range(len(VSD_TAUS)):
+                        for k, th in enumerate(VSD_THS):
+                            vsd_tp[ti, k] += match_count(tabs[:, :, ti], th)
 
-        # aux errors use mssd's matching (ad/re/te computed on same pairs)
+        # aux errors: matched once by min-add (custom-evaluator semantics,
+        # gdrn_custom_evaluator.py — not part of BOP AR)
         aux = _aux_errors(ests, gt_list, pts, syms_R, model_bank, label)
         for row in aux:
             for k, v in row.items():
@@ -118,19 +133,12 @@ def score_bop_results(
                 err_rows[k].append((np.inf, diam))
 
     out = {}
-    if err_rows["mssd"]:
-        errs = np.array([e for e, _ in err_rows["mssd"]])
-        diams = np.array([d for _, d in err_rows["mssd"]])
-        out["AR_mssd"] = float(np.mean([
-            np.mean(errs < th * diams) for th in MSSD_THS]))
-    if err_rows["mspd"]:
-        errs = np.array([e for e, _ in err_rows["mspd"]])
-        out["AR_mspd"] = float(np.mean([
-            np.mean(errs < th * r_mspd) for th in MSPD_THS]))
-    if vsd_rows:
-        v = np.stack(vsd_rows)  # (N, T)
-        out["AR_vsd"] = float(np.mean([
-            np.mean(v < th) for th in VSD_THS]))
+    if mssd_tar:
+        out["AR_mssd"] = float(np.mean(mssd_tp / mssd_tar))
+    if mspd_tar:
+        out["AR_mspd"] = float(np.mean(mspd_tp / mspd_tar))
+    if vsd_tar:
+        out["AR_vsd"] = float(np.mean(vsd_tp / vsd_tar))
     ar_parts = [out[k] for k in ("AR_vsd", "AR_mssd", "AR_mspd") if k in out]
     if ar_parts:
         out["AR"] = float(np.mean(ar_parts))
@@ -205,27 +213,33 @@ def _pairwise(ests, gt_list, fn):
     return np.asarray(fn(Re_r, te_r, Rg_r, tg_r)).reshape(ne, ng)
 
 
-def _greedy(table):
-    """Greedy row-order matching; returns list of matched errors."""
-    used = set()
-    out = []
-    for i in range(table.shape[0]):
-        cand = [(table[i, j], j) for j in range(table.shape[1]) if j not in used]
-        if not cand:
-            break
-        err, j = min(cand)
-        used.add(j)
-        out.append(err)
-    return out
+def match_count(table: np.ndarray, th: float) -> int:
+    """BOP-toolkit match_poses for one correctness threshold
+    (lib/pysixd/pose_matching.py:49-91): rows (estimates) are already
+    score-sorted; each row matches the unmatched column (GT) with the
+    LOWEST error among those with error < th. Returns the match count."""
+    ne, ng = table.shape
+    used = np.zeros(ng, bool)
+    count = 0
+    for i in range(ne):
+        row = np.where(~used, table[i], np.inf)
+        j = int(np.argmin(row))
+        if row[j] < th:
+            used[j] = True
+            count += 1
+    return count
 
 
-def _greedy_match(ests, gt_list, e_name, pts, syms_R, bank, label, r_mspd=1.0):
+def _error_table(ests, gt_list, e_name, pts, syms_R, syms_t):
+    """(n_est, n_gt) raw error table for mssd/mspd with FULL symmetry
+    transforms (R, t) — BOP symmetries carry translations for off-center
+    symmetry axes (lib/pysixd/misc.py get_symmetry_transformations)."""
     if not ests:
-        return []
+        return None
     n = len(ests) * len(gt_list)
     P = jnp.asarray(np.tile(pts[None], (n, 1, 1)))
     sR = jnp.asarray(np.tile(syms_R[None], (n, 1, 1, 1)))
-    st = jnp.zeros((n, syms_R.shape[0], 3))
+    st = jnp.asarray(np.tile(syms_t[None], (n, 1, 1)))
     sv = jnp.ones((n, syms_R.shape[0]), bool)
     if e_name == "mssd":
         fn = lambda Re, te_, Rg, tg: mssd_batch(
@@ -237,8 +251,7 @@ def _greedy_match(ests, gt_list, e_name, pts, syms_R, bank, label, r_mspd=1.0):
         fn = lambda Re, te_, Rg, tg: mspd_batch(
             jnp.asarray(Re), jnp.asarray(te_), jnp.asarray(Rg), jnp.asarray(tg),
             jnp.asarray(K), P, sR, st, sv)
-    table = _pairwise(ests, gt_list, fn)
-    return _greedy(table)
+    return _pairwise(ests, gt_list, fn)
 
 
 def _aux_errors(ests, gt_list, pts, syms_R, bank, label):
@@ -276,36 +289,38 @@ def _aux_errors(ests, gt_list, pts, syms_R, bank, label):
     return rows
 
 
-def _vsd_match(ests, gt_list, key, pts, bank, label, diam,
-               depth_getter, delta):
-    """Greedy vsd matching: match by mean-over-taus error."""
-    if not ests:
-        return []
+def _vsd_tables(ests, gt_list, key, bank, label, diam, depth_getter, delta,
+                vsd_mode="auto"):
+    """(n_est, n_gt, T_taus) vsd error table for per-(tau, th) matching.
+
+    Returns False when the test depth is unavailable (the target is then
+    skipped from vsd accounting entirely — counting it as all-miss would
+    silently depress AR_vsd), None when there are no estimates (pure miss).
+    """
     depth = depth_getter(key[0], key[1])
     if depth is None:
-        return []
-    rows = []
+        return False
+    if not ests:
+        return None
     verts = bank.verts[label]
     faces = bank.faces[label]
-    used = set()
-    for e in ests:
-        tabs = []
-        for j, g in enumerate(gt_list):
-            if j in used:
-                tabs.append((np.inf, None, j))
-                continue
-            errs = np.asarray(vsd_batch(
-                jnp.asarray(np.asarray(e["R"], np.float32))[None],
-                jnp.asarray(np.asarray(e["t"], np.float32).ravel())[None],
-                jnp.asarray(np.asarray(g["R"], np.float32))[None],
-                jnp.asarray(np.asarray(g["t"], np.float32).ravel())[None],
-                jnp.asarray(depth)[None],
-                jnp.asarray(e.get("K", np.eye(3, dtype=np.float32)))[None],
-                jnp.asarray(verts)[None], jnp.asarray(faces)[None],
-                jnp.asarray([diam]), jnp.asarray(VSD_TAUS), delta))[0]
-            tabs.append((float(errs.mean()), errs, j))
-        tabs.sort(key=lambda x: x[0])
-        if tabs and tabs[0][1] is not None:
-            used.add(tabs[0][2])
-            rows.append(tabs[0][1])
-    return rows
+    ne, ng = len(ests), len(gt_list)
+    n = ne * ng
+    Re, te_, Rg, tg = _pose_arrays(ests, gt_list)
+    Re_r = np.repeat(Re, ng, axis=0)
+    te_r = np.repeat(te_, ng, axis=0)
+    Rg_r = np.tile(Rg, (ne, 1, 1))
+    tg_r = np.tile(tg, (ne, 1))
+    Ks = np.stack([np.asarray(e.get("K", np.eye(3, dtype=np.float32)),
+                              np.float32) for e in ests])
+    K_r = np.repeat(Ks, ng, axis=0)
+    errs = np.asarray(vsd_dispatch(
+        jnp.asarray(Re_r), jnp.asarray(te_r), jnp.asarray(Rg_r),
+        jnp.asarray(tg_r),
+        jnp.asarray(np.tile(depth[None], (n, 1, 1))),
+        jnp.asarray(K_r),
+        jnp.asarray(np.tile(verts[None], (n, 1, 1))),
+        jnp.asarray(np.tile(faces[None], (n, 1, 1))),
+        jnp.asarray(np.full(n, diam, np.float32)),
+        jnp.asarray(VSD_TAUS), delta, mode=vsd_mode))
+    return errs.reshape(ne, ng, -1)
