@@ -21,7 +21,21 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _force_platform():
+    """Test/CI escape hatch: the axon TPU plugin programmatically overrides
+    JAX_PLATFORMS; GDRN_PLATFORM=cpu forces the platform before backend
+    init (must run before any jax device use)."""
+    import os
+    if os.environ.get("GDRN_PLATFORM"):
+        import jax
+        try:
+            jax.config.update("jax_platforms", os.environ["GDRN_PLATFORM"])
+        except Exception:
+            pass
+
+
 def run_eval(cfg, meta, bank, ckpt_dir=None):
+    _force_platform()
     import jax
     import jax.numpy as jnp
     import numpy as np

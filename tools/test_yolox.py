@@ -29,10 +29,26 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--conf-thr", type=float, default=0.01)
     ap.add_argument("--nms-thr", type=float, default=0.65)
+    ap.add_argument("--meta-from-config", default=None,
+                    help="config .py to exec first (registers custom "
+                         "dataset metadata, e.g. synthetic sweeps)")
     args = ap.parse_args()
+
+    if args.meta_from_config:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location("mc", args.meta_from_config)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
 
     import numpy as np
     import jax
+    # test/CI escape hatch: the axon TPU plugin programmatically overrides
+    # JAX_PLATFORMS; GDRN_PLATFORM forces the platform before backend init
+    if os.environ.get("GDRN_PLATFORM"):
+        try:
+            jax.config.update("jax_platforms", os.environ["GDRN_PLATFORM"])
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from gdrnpp_bop2022_tpu.datasets.meta import get_meta
