@@ -1,16 +1,21 @@
 """YOLOX training driver.
 
-Reference: det/yolox/engine/yolox_trainer.py (YOLOX_DefaultTrainer): epoch
-loop with EMA, AMP, mosaic-close + L1-enable at no_aug_epochs before the
-end (:336-356), SGD warmup-cosine. Here: jitted train step over the data
-mesh, bf16 compute, the aug switch flips the host loader and rebuilds the
-jitted loss with use_l1=True (a one-time recompile, not a per-step cost).
+Reference: det/yolox/engine/yolox_trainer.py (YOLOX_DefaultTrainer):
+epoch loop with EMA, AMP, resume (:207-224), periodic in-train eval with
+best-checkpoint tracking (:226-283 hooks), mosaic-close + L1-enable at
+no_aug_epochs before the end (:336-356), random multiscale resize every 10
+iters (:413-416), SGD warmup-cosine. Here: jitted train step over the data
+mesh, bf16 compute; the aug switch flips the host loader and rebuilds the
+jitted loss with use_l1=True; multiscale resize is a device-side bilinear
+resize + box rescale (each size is one extra XLA compile, cached).
 """
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Optional, Sequence
+import time
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -58,19 +63,53 @@ def make_yolox_train_step(model, strides=(8, 16, 32), use_l1=False):
     return step
 
 
+def multiscale_resize(images: jax.Array, boxes: jax.Array, size: int):
+    """Device-side multiscale: bilinear-resize the batch to (size, size) and
+    rescale gt boxes (reference yolox_trainer.py:413-416 random_resize +
+    preprocess). images (B, S, S, 3) uint8/float, boxes (B, N, 4) xyxy."""
+    B, S = images.shape[0], images.shape[1]
+    if size == S:
+        return images, boxes
+    out = jax.image.resize(images.astype(jnp.float32),
+                           (B, size, size, images.shape[-1]),
+                           method="bilinear")
+    return out, boxes * (size / S)
+
+
 def train_yolox(records, num_classes: int, output_dir: str,
                 size: str = "yolox_x", input_size: int = 640,
                 batch_size: int = 16, total_iters: int = 1000,
                 base_lr: float = 0.01 / 64, weight_decay: float = 5e-4,
                 no_aug_iters: int = 0, mesh_shape=(-1,),
                 log_period: int = 20, ckpt_period: int = 500,
-                seed: int = 0, loader=None):
-    """Train YOLOX on detection records. Returns final TrainState."""
+                seed: int = 0, loader=None,
+                resume: bool = True,
+                eval_fn: Optional[Callable] = None,
+                eval_period: int = 0,
+                eval_metric: str = "mAP50",
+                multiscale_range: int = 0,
+                multiscale_period: int = 10,
+                mosaic_prob: Optional[float] = None,
+                mixup_prob: Optional[float] = None,
+                ema_decay: float = 0.9998):
+    """Train YOLOX on detection records. Returns final TrainState.
+
+    eval_fn(params, iteration) -> metrics dict is called with the EMA
+    params every eval_period iters (reference: in-train eval hook with EMA
+    weights, yolox_trainer.py:226-283); the best `eval_metric` value's
+    checkpoint is kept in <output_dir>/ckpt_yolox_best.
+    multiscale_range=N: every multiscale_period iters pick a random square
+    size in input_size ± N*32 (reference random_resize).
+    """
     from ..datasets.yolox_loader import YoloxTrainLoader
 
     model = build_yolox(num_classes, size)
     if loader is None:
         loader = YoloxTrainLoader(records, batch_size, input_size, seed=seed)
+    if mosaic_prob is not None:
+        loader.mosaic_prob = mosaic_prob
+    if mixup_prob is not None:
+        loader.mixup_prob = mixup_prob
 
     sched = yolox_warmcos_schedule(base_lr * batch_size, total_iters,
                                    warmup_iters=min(500, total_iters // 10))
@@ -82,22 +121,34 @@ def train_yolox(records, num_classes: int, output_dir: str,
     host = next(iter(loader))
     variables = model.init(jax.random.PRNGKey(seed),
                            jnp.asarray(host["images"][:1]).astype(jnp.float32))
-    state = create_train_state(model.apply, variables["params"], tx)
+    state = create_train_state(model.apply, variables["params"], tx,
+                               ema_decay=ema_decay)
 
     mesh = make_mesh(mesh_shape, ("data",))
     state = jax.device_put(state, replicated_sharding(mesh))
     ckpt = CheckpointManager(os.path.join(output_dir, "ckpt_yolox"))
+    best_ckpt = CheckpointManager(os.path.join(output_dir, "ckpt_yolox_best"),
+                                  max_to_keep=1)
+    start_iter = 0
+    if resume:
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state = jax.device_put(restored, replicated_sharding(mesh))
+            start_iter = int(state.step)
+            print(f"yolox: resumed from iter {start_iter}", flush=True)
 
     step_aug = make_yolox_train_step(model, use_l1=False)
     step_noaug = make_yolox_train_step(model, use_l1=True)
 
-    import json, time
     os.makedirs(output_dir, exist_ok=True)
     metrics_path = os.path.join(output_dir, "metrics_yolox.json")
     rng = jax.random.PRNGKey(seed + 1)
+    ms_rng = np.random.RandomState(seed + 2)
     host_batch = host
+    best_val = -np.inf
+    cur_size = input_size
     t0 = time.perf_counter()
-    for it in range(total_iters):
+    for it in range(start_iter, total_iters):
         in_noaug = it >= total_iters - no_aug_iters
         if in_noaug and loader.enable_aug:
             # close mosaic + enable L1 (reference yolox_trainer.py:336-356)
@@ -105,20 +156,49 @@ def train_yolox(records, num_classes: int, output_dir: str,
             loader.mixup_prob = 0.0
             loader.enable_aug = False
         step_fn = step_noaug if in_noaug else step_aug
+        if multiscale_range > 0 and it % multiscale_period == 0:
+            # random square size on the 32-stride grid (reference :413-416);
+            # no_aug phase trains at the eval size
+            cur_size = (input_size if in_noaug else
+                        32 * ms_rng.randint(input_size // 32 - multiscale_range,
+                                            input_size // 32 + multiscale_range + 1))
         rng, k = jax.random.split(rng)
-        batch = shard_batch(jax.tree.map(jnp.asarray, host_batch), mesh)
+        batch = jax.tree.map(jnp.asarray, host_batch)
+        if cur_size != input_size:
+            batch["images"], batch["gt_boxes"] = multiscale_resize(
+                batch["images"], batch["gt_boxes"], cur_size)
+        batch = shard_batch(batch, mesh)
         state, metrics = step_fn(state, batch, k)
-        if (it + 1) % log_period == 0 or it == 0:
+        if (it + 1) % log_period == 0 or it == start_iter:
             row = {k_: float(v) for k_, v in jax.device_get(metrics).items()}
+            row["iteration"] = it + 1
+            row["img_size"] = cur_size
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            done = it + 1 - start_iter
+            eta = (time.perf_counter() - t0) / done * (total_iters - it - 1)
+            print(f"yolox iter {it+1}/{total_iters} "
+                  f"loss {row['total_loss']:.3f} size {cur_size} "
+                  f"eta {eta/60:.1f}min", flush=True)
+        if (it + 1) % ckpt_period == 0 or (it + 1) == total_iters:
+            ckpt.save(state, it + 1)
+        if (eval_fn is not None and eval_period > 0
+                and ((it + 1) % eval_period == 0 or (it + 1) == total_iters)):
+            # eval with EMA weights (reference evaluates the EMA model)
+            val_metrics = eval_fn(jax.device_get(state.ema_params), it + 1)
+            row = {f"val/{k_}": float(v) for k_, v in val_metrics.items()}
             row["iteration"] = it + 1
             with open(metrics_path, "a") as f:
                 f.write(json.dumps(row) + "\n")
-            eta = (time.perf_counter() - t0) / (it + 1) * (total_iters - it - 1)
-            print(f"yolox iter {it+1}/{total_iters} "
-                  f"loss {row['total_loss']:.3f} eta {eta/60:.1f}min",
-                  flush=True)
-        if (it + 1) % ckpt_period == 0 or (it + 1) == total_iters:
-            ckpt.save(state, it + 1)
+            val = float(val_metrics.get(eval_metric, -np.inf))
+            if val > best_val:
+                best_val = val
+                best_ckpt.save(state, it + 1)
+                print(f"yolox eval @ {it+1}: {eval_metric}={val:.4f} "
+                      f"(new best)", flush=True)
+            else:
+                print(f"yolox eval @ {it+1}: {eval_metric}={val:.4f} "
+                      f"(best {best_val:.4f})", flush=True)
         if it + 1 < total_iters:
             host_batch = next(iter(loader))
     loader.close()

@@ -49,6 +49,58 @@ def detections_to_bop_json(
     return out
 
 
+def evaluate_yolox_records(
+    model, params, det_records, input_size: int, num_classes: int,
+    conf_thr: float = 0.3, nms_thr: float = 0.65, max_dets: int = 32,
+    batch_size: int = 8,
+) -> Dict[str, float]:
+    """Run YOLOX inference over per-image DetRecords and score mAP against
+    their own GT boxes (in-train eval; reference: COCO eval hook,
+    yolox_trainer.py:226-283 via YOLOX_COCOEvaluator). Returns coco_map's
+    metric dict (mAP, mAP50, ...)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from ..datasets.bop_data import load_image
+    from ..models.yolox.head import flatten_outputs
+    from ..models.yolox.yolox import postprocess_nms
+
+    @jax.jit
+    def infer(p, imgs):
+        outs = model.apply({"params": p} if "params" not in p else p, imgs)
+        flat, grids, st = flatten_outputs(outs, (8, 16, 32))
+        return postprocess_nms(flat, grids, st, conf_thr=conf_thr,
+                               nms_thr=nms_thr, max_dets=max_dets)
+
+    dets, gts = {}, {}
+    recs = list(det_records)
+    for i0 in range(0, len(recs), batch_size):
+        chunk = recs[i0:i0 + batch_size]
+        imgs, scales = [], []
+        for r in chunk:
+            img = load_image(r.rgb_path)
+            h, w = img.shape[:2]
+            imgs.append(cv2.resize(img, (input_size, input_size)))
+            scales.append((w / input_size, h / input_size))
+        pad = batch_size - len(chunk)
+        if pad:
+            imgs += [imgs[-1]] * pad
+        out = jax.device_get(infer(params, jnp.asarray(np.stack(imgs),
+                                                       jnp.float32)))
+        for j, r in enumerate(chunk):
+            sx, sy = scales[j]
+            keep = out["valid"][j] & (out["scores"][j] > conf_thr)
+            boxes = out["boxes_xyxy"][j][keep] * np.array([sx, sy, sx, sy])
+            dets[r.rgb_path] = [
+                {"bbox_xyxy": b.tolist(), "score": float(s), "label": int(l)}
+                for b, s, l in zip(boxes, out["scores"][j][keep],
+                                   out["labels"][j][keep])]
+            gts[r.rgb_path] = [
+                {"bbox_xyxy": b.tolist(), "label": int(l)}
+                for b, l in zip(r.boxes, r.labels)]
+    return coco_map(dets, gts, num_classes)
+
+
 def _voc_ap(recall, precision):
     """101-point interpolated AP (COCO-style)."""
     mrec = np.concatenate([[0.0], recall, [1.0]])
