@@ -233,6 +233,9 @@ class DatasetsConfig:
     sym_objs: Tuple[str, ...] = ()
     root: str = "datasets/BOP_DATASETS"
     filter_visib_thr: float = 0.3
+    sampler: str = "random"           # random | repeat_factor (reference
+                                      # RepeatFactorTrainingSampler)
+    repeat_thresh: float = 0.01
 
 
 @dataclass(frozen=True)

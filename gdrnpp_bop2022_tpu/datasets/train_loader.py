@@ -46,6 +46,8 @@ class GdrnTrainLoader:
         bg_paths: Optional[Sequence[str]] = None,
         truncate_fg: bool = False,
         with_depth: bool = False,
+        sampler: str = "random",       # random | repeat_factor
+        repeat_thresh: float = 0.01,
     ):
         """bg_paths: image files for background replacement (reference
         _bg_img_paths from VOC/COCO/SUN, base_data_loader.py:339-460).
@@ -67,6 +69,20 @@ class GdrnTrainLoader:
                         shift_ratio=dzi_shift_ratio, dzi_type=dzi_type)
         self.bbox_type = bbox_type
         self.rng = np.random.RandomState(seed)
+        # class-imbalance oversampling (reference
+        # RepeatFactorTrainingSampler, my_distributed_sampler.py:57 / LVIS
+        # appendix B.2): r(c) = max(1, sqrt(thresh / freq(c))), sampling
+        # probability proportional to the record's class repeat factor
+        self._probs = None
+        if sampler == "repeat_factor":
+            labels = np.array([r.label for r in self.records])
+            freq = np.bincount(labels) / max(len(labels), 1)
+            r_cls = np.maximum(1.0, np.sqrt(repeat_thresh
+                                            / np.maximum(freq, 1e-12)))
+            w = r_cls[labels]
+            self._probs = w / w.sum()
+        elif sampler != "random":
+            raise ValueError(f"unknown sampler: {sampler}")
         self._queue: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -75,6 +91,9 @@ class GdrnTrainLoader:
     def _pick_record(self) -> InstanceRecord:
         if self.records2 and self.rng.uniform() < self.ratio2:
             return self.records2[self.rng.randint(len(self.records2))]
+        if self._probs is not None:
+            return self.records[self.rng.choice(len(self.records),
+                                                p=self._probs)]
         return self.records[self.rng.randint(len(self.records))]
 
     def _select_bbox(self, rec: InstanceRecord) -> np.ndarray:

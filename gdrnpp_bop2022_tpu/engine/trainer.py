@@ -108,7 +108,9 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
         seed=cfg.train.seed,
         bg_paths=bg_paths,
         truncate_fg=cfg.input.truncate_fg,
-        with_depth=cfg.input.with_depth)
+        with_depth=cfg.input.with_depth,
+        sampler=cfg.datasets.sampler,
+        repeat_thresh=cfg.datasets.repeat_thresh)
 
     verts = jnp.asarray(model_bank.verts)
     faces = jnp.asarray(model_bank.faces)

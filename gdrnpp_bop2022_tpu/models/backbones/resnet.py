@@ -99,3 +99,7 @@ def resnet34(**kw):
 
 def resnet50(**kw):
     return ResNet(stage_sizes=(3, 4, 6, 3), block="bottleneck", **kw)
+
+
+def resnet101(**kw):
+    return ResNet(stage_sizes=(3, 4, 23, 3), block="bottleneck", **kw)

@@ -26,7 +26,26 @@ from ..geometry.se3 import (
     pose_from_trans,
 )
 from .backbones.convnext import convnext_tiny, convnext_small, convnext_base
-from .backbones.resnet import resnet34, resnet50
+from .backbones.resnet import resnet34, resnet50, resnet101
+
+
+class _CSPDarknetBackbone(nn.Module):
+    """CSPDarknet as a GDRN backbone (reference net_factory darknet entry):
+    selects stage features by out_indices (1=/8, 2=/16, 3=/32)."""
+    out_indices: tuple = (3,)
+    wid_mul: float = 1.0
+    dep_mul: float = 1.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        del deterministic
+        from .yolox.darknet import CSPDarknet
+        feats = CSPDarknet(self.dep_mul, self.wid_mul, dtype=self.dtype,
+                           name="darknet")(x.astype(self.dtype))
+        by_idx = {1: feats["dark3"], 2: feats["dark4"], 3: feats["dark5"]}
+        out = [by_idx[i] for i in self.out_indices]
+        return out if len(out) > 1 else out[0]
 from .heads.top_down_head import (ConvMaskXyzRegionHead,
                                   FPNMaskXyzRegionHead,
                                   TopDownDoubleMaskXyzRegionHead,
@@ -42,6 +61,8 @@ def _build_backbone(cfg: PoseNetConfig, dtype, out_indices=None):
         "convnext_base": convnext_base,
         "resnet34": resnet34,
         "resnet50": resnet50,
+        "resnet101": resnet101,
+        "cspdarknet": _CSPDarknetBackbone,
     }
     if name not in builders:
         raise ValueError(f"Unknown backbone: {name}")

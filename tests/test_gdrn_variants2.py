@@ -142,3 +142,50 @@ def test_cls_aware_pnp_net_wired():
     k = variables["params"]["pnp_net"]["fc_r_kernel"]
     assert k.shape[-1] == 3 * 6   # num_classes * rot_dim
     assert np.isfinite(np.asarray(out["rot"])).all()
+
+
+@pytest.mark.parametrize("backbone,out_index", [("resnet101", 3),
+                                                ("cspdarknet", 3)])
+def test_backbone_breadth(backbone, out_index):
+    """resnet101 / cspdarknet as GDRN backbones (reference net_factory
+    breadth beyond the flagship convnext)."""
+    cfg = _cfg(**{"model.pose_net.backbone.name": backbone,
+                  "model.pose_net.backbone.out_index": out_index})
+    out, _, _ = _run_forward(cfg)
+    assert np.isfinite(np.asarray(out["rot"])).all()
+    assert out["vis_mask"].shape == (2, 16, 16)
+
+
+def test_repeat_factor_sampler(tmp_path):
+    """Repeat-factor sampling oversamples rare classes (reference
+    RepeatFactorTrainingSampler, my_distributed_sampler.py:57)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth_utils import build_synth_bop
+    from gdrnpp_bop2022_tpu.datasets.bop_data import index_bop_split
+    from gdrnpp_bop2022_tpu.datasets.train_loader import GdrnTrainLoader
+
+    s = build_synth_bop(tmp_path / "synth", split="train", n_images=4, seed=7)
+    records = index_bop_split(s["split_dir"], s["meta"])
+    # make class 1 rare: drop most of its records
+    rare = [r for r in records if r.label == 1][:1]
+    common = [r for r in records if r.label == 0]
+    recs = common + rare            # 4 vs 1
+
+    uniform = GdrnTrainLoader(recs, 16, 160, 120, sampler="random", seed=0)
+    rf = GdrnTrainLoader(recs, 16, 160, 120, sampler="repeat_factor",
+                         repeat_thresh=0.5, seed=0)
+    def rare_frac(loader, k=4):
+        n_rare = n = 0
+        for _ in range(k):
+            b = next(iter(loader))
+            n_rare += int((b["labels"] == 1).sum())
+            n += len(b["labels"])
+        loader.close()
+        return n_rare / n
+    fu, fr = rare_frac(uniform), rare_frac(rf)
+    # uniform ~0.2; repeat-factor with thresh 0.5 boosts the rare class
+    assert fr > fu + 0.05, (fu, fr)
+
+    with pytest.raises(ValueError, match="sampler"):
+        GdrnTrainLoader(recs, 4, 160, 120, sampler="nope")
