@@ -259,6 +259,7 @@ class TrainRuntimeConfig:
     mesh_axes: Tuple[str, ...] = ("data",)
     seed: int = 0
     log_period: int = 20
+    tensorboard: bool = True          # scalars to a native tfevents file
     eval_period: int = 0
     vis_period: int = 0
     num_workers: int = 8

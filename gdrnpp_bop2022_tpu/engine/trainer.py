@@ -31,15 +31,22 @@ from .checkpoint import CheckpointManager
 
 
 class MetricsWriter:
-    """Console + metrics.json writers (reference: my_writer.py:120,268)."""
+    """Console + metrics.json + TensorBoard writers (reference:
+    my_writer.py:120,268 console/json + :53 tensorboardX — here a
+    dependency-free tfevents scalar stream, utils/tb_writer.py)."""
 
-    def __init__(self, output_dir: str, max_iter: int, log_period: int = 20):
+    def __init__(self, output_dir: str, max_iter: int, log_period: int = 20,
+                 tensorboard: bool = True):
         os.makedirs(output_dir, exist_ok=True)
         self.path = os.path.join(output_dir, "metrics.json")
         self.max_iter = max_iter
         self.log_period = log_period
         self._t_start = time.perf_counter()
         self._last_iter = 0
+        self.tb = None
+        if tensorboard:
+            from ..utils.tb_writer import TensorBoardWriter
+            self.tb = TensorBoardWriter(os.path.join(output_dir, "tb"))
 
     def write(self, iteration: int, metrics: dict, lr: float):
         row = {k: float(v) for k, v in metrics.items()}
@@ -47,6 +54,10 @@ class MetricsWriter:
         row["lr"] = float(lr)
         with open(self.path, "a") as f:
             f.write(json.dumps(row) + "\n")
+        if self.tb is not None:
+            self.tb.add_scalars(
+                {k: v for k, v in row.items() if k != "iteration"}, iteration)
+            self.tb.flush()
         elapsed = time.perf_counter() - self._t_start
         done = max(iteration, 1)
         eta = elapsed / done * (self.max_iter - done)
@@ -209,7 +220,8 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
             print(f"resumed from iter {start_iter}")
 
     step_fn = make_train_step(cfg, sym_bank, sym_mask)
-    writer = MetricsWriter(cfg.output_dir, total_iters, cfg.train.log_period)
+    writer = MetricsWriter(cfg.output_dir, total_iters, cfg.train.log_period,
+                           tensorboard=cfg.train.tensorboard)
     ckpt_period = max(cfg.solver.checkpoint_period_epochs * iters_per_epoch, 1)
 
     rng = jax.random.PRNGKey(cfg.train.seed + 1)

@@ -1,0 +1,54 @@
+"""Native tfevents scalar writer (reference MyTensorboardXWriter role)."""
+
+import glob
+import os
+import struct
+
+import numpy as np
+
+from gdrnpp_bop2022_tpu.utils.tb_writer import (TensorBoardWriter, crc32c,
+                                                _masked_crc, read_events)
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 / standard crc32c test vectors
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0x0
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+def test_event_roundtrip(tmp_path):
+    w = TensorBoardWriter(str(tmp_path))
+    w.add_scalar("loss/total", 1.5, step=1)
+    w.add_scalars({"loss/total": 0.75, "lr": 1e-3}, step=2)
+    w.close()
+
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    assert len(files) == 1
+    events = read_events(files[0])
+    assert events[0] == (1, {"loss/total": 1.5})
+    step2 = dict(events)[2]
+    assert abs(step2["loss/total"] - 0.75) < 1e-6
+    assert abs(step2["lr"] - 1e-3) < 1e-9
+
+    # TFRecord framing integrity: header length + masked crcs verified by
+    # read_events; additionally check the first record's version event
+    data = open(files[0], "rb").read()
+    (length,) = struct.unpack_from("<Q", data, 0)
+    payload = data[12:12 + length]
+    assert b"brain.Event:2" in payload
+    (pcrc,) = struct.unpack_from("<I", data, 12 + length)
+    assert pcrc == _masked_crc(payload)
+
+
+def test_trainer_writer_emits_tb(tmp_path):
+    from gdrnpp_bop2022_tpu.engine.trainer import MetricsWriter
+    mw = MetricsWriter(str(tmp_path), max_iter=10, tensorboard=True)
+    mw.write(1, {"total_loss": 2.0}, lr=1e-3)
+    mw.write(2, {"total_loss": 1.0}, lr=1e-3)
+    files = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    assert len(files) == 1
+    events = read_events(files[0])
+    assert dict(events)[2]["total_loss"] == 1.0
+    # metrics.json still written alongside
+    assert os.path.exists(tmp_path / "metrics.json")
