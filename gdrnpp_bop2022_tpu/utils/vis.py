@@ -39,9 +39,13 @@ def draw_pose_bbox(img: np.ndarray, K: np.ndarray, R: np.ndarray,
     """Draw the projected 3D bounding box of a posed object."""
     import cv2
     out = img.copy()
-    uv = project_pts(bbox3d_corners(extent, center), K, R, t).astype(int)
+    uv = project_pts(bbox3d_corners(extent, center), K, R, t)
+    # clip: near-zero depths from untrained/garbage poses project to huge
+    # coordinates that overflow cv2's C int parsing
+    uv = np.clip(np.nan_to_num(uv), -10_000, 10_000).astype(np.int32)
     for a, b in _BOX_EDGES:
-        cv2.line(out, tuple(uv[a]), tuple(uv[b]), color, thickness)
+        cv2.line(out, (int(uv[a, 0]), int(uv[a, 1])),
+                 (int(uv[b, 0]), int(uv[b, 1])), color, thickness)
     # draw axes from centroid
     return out
 
