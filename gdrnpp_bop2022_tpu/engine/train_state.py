@@ -27,6 +27,9 @@ class TrainState(struct.PyTreeNode):
     apply_fn: Callable = struct.field(pytree_node=False)
     ema_decay: float = struct.field(pytree_node=False, default=0.9999)
     ema_warmup: float = struct.field(pytree_node=False, default=2000.0)
+    # non-gradient collections (BatchNorm running stats for norm="BN"
+    # models); None for the GN/LN default stacks
+    batch_stats: Any = None
 
     def apply_gradients(self, grads):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -42,7 +45,8 @@ def ema_update(params, ema_params, updates_count, decay=0.9999, warmup=2000.0):
     return jax.tree.map(lambda e, p: e * d + (1.0 - d) * p, ema_params, params)
 
 
-def create_train_state(apply_fn, params, tx, ema_decay=0.9999, ema_warmup=2000.0):
+def create_train_state(apply_fn, params, tx, ema_decay=0.9999,
+                       ema_warmup=2000.0, batch_stats=None):
     return TrainState(
         step=jnp.zeros([], jnp.int32),
         params=params,
@@ -52,4 +56,5 @@ def create_train_state(apply_fn, params, tx, ema_decay=0.9999, ema_warmup=2000.0
         apply_fn=apply_fn,
         ema_decay=ema_decay,
         ema_warmup=ema_warmup,
+        batch_stats=batch_stats,
     )

@@ -44,21 +44,33 @@ def yolox_warmcos_schedule(base_lr: float, total_iters: int,
     return sched
 
 
-def make_yolox_train_step(model, strides=(8, 16, 32), use_l1=False):
+def make_yolox_train_step(model, strides=(8, 16, 32), use_l1=False,
+                          with_batch_stats=False):
+    """with_batch_stats: thread BatchNorm running stats (norm="BN" models)
+    through the step — forward runs with mutable batch_stats and the
+    updated stats land back in the TrainState."""
     @jax.jit
     def step(state, batch, rng):
         imgs = batch["images"].astype(jnp.float32)
 
         def loss_fn(params):
-            outs = state.apply_fn({"params": params}, imgs)
+            if with_batch_stats:
+                outs, upd = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    imgs, mutable=["batch_stats"])
+            else:
+                outs = state.apply_fn({"params": params}, imgs)
+                upd = None
             losses = yolox_loss(outs, strides, batch["gt_boxes"],
                                 batch["gt_labels"], batch["gt_valid"],
                                 use_l1=use_l1)
-            return losses["total_loss"], losses
+            return losses["total_loss"], (losses, upd)
 
-        (_, metrics), grads = jax.value_and_grad(
+        (_, (metrics, upd)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)
+        if with_batch_stats:
+            new_state = new_state.replace(batch_stats=upd["batch_stats"])
         return new_state, metrics
     return step
 
@@ -91,7 +103,8 @@ def train_yolox(records, num_classes: int, output_dir: str,
                 multiscale_period: int = 10,
                 mosaic_prob: Optional[float] = None,
                 mixup_prob: Optional[float] = None,
-                ema_decay: float = 0.9998):
+                ema_decay: float = 0.9998,
+                norm: str = "GN"):
     """Train YOLOX on detection records. Returns final TrainState.
 
     eval_fn(params, iteration) -> metrics dict is called with the EMA
@@ -103,7 +116,7 @@ def train_yolox(records, num_classes: int, output_dir: str,
     """
     from ..datasets.yolox_loader import YoloxTrainLoader
 
-    model = build_yolox(num_classes, size)
+    model = build_yolox(num_classes, size, norm=norm)
     if loader is None:
         loader = YoloxTrainLoader(records, batch_size, input_size, seed=seed)
     if mosaic_prob is not None:
@@ -122,7 +135,8 @@ def train_yolox(records, num_classes: int, output_dir: str,
     variables = model.init(jax.random.PRNGKey(seed),
                            jnp.asarray(host["images"][:1]).astype(jnp.float32))
     state = create_train_state(model.apply, variables["params"], tx,
-                               ema_decay=ema_decay)
+                               ema_decay=ema_decay,
+                               batch_stats=variables.get("batch_stats"))
 
     mesh = make_mesh(mesh_shape, ("data",))
     state = jax.device_put(state, replicated_sharding(mesh))
@@ -137,8 +151,11 @@ def train_yolox(records, num_classes: int, output_dir: str,
             start_iter = int(state.step)
             print(f"yolox: resumed from iter {start_iter}", flush=True)
 
-    step_aug = make_yolox_train_step(model, use_l1=False)
-    step_noaug = make_yolox_train_step(model, use_l1=True)
+    with_bs = variables.get("batch_stats") is not None
+    step_aug = make_yolox_train_step(model, use_l1=False,
+                                     with_batch_stats=with_bs)
+    step_noaug = make_yolox_train_step(model, use_l1=True,
+                                       with_batch_stats=with_bs)
 
     os.makedirs(output_dir, exist_ok=True)
     metrics_path = os.path.join(output_dir, "metrics_yolox.json")

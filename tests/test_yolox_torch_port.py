@@ -223,3 +223,32 @@ def test_bn_training_updates_stats():
     new_mean = np.asarray(jax.tree_util.tree_leaves(upd["batch_stats"])[0])
     old_mean = np.asarray(jax.tree_util.tree_leaves(v["batch_stats"])[0])
     assert not np.allclose(new_mean, old_mean)
+
+
+def test_bn_training_through_trainer(tmp_path):
+    """train_yolox with norm='BN' threads batch_stats through the jitted
+    step: running stats move during training and are carried in the
+    TrainState (checkpointable)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth_utils import build_synth_bop
+    from gdrnpp_bop2022_tpu.datasets.bop_data import index_bop_split
+    from gdrnpp_bop2022_tpu.datasets.yolox_loader import (
+        YoloxTrainLoader, det_records_from_instances)
+    from gdrnpp_bop2022_tpu.engine.yolox_trainer import train_yolox
+
+    s = build_synth_bop(tmp_path / "synth", split="train", n_images=2, seed=9)
+    recs = index_bop_split(s["split_dir"], s["meta"])
+    det_recs = det_records_from_instances(recs)
+    loader = YoloxTrainLoader(det_recs, batch_size=2, input_size=64,
+                              max_gt=8, seed=0)
+    state = train_yolox(det_recs, num_classes=2,
+                        output_dir=str(tmp_path / "out"), size="yolox_s",
+                        input_size=64, batch_size=2, total_iters=3,
+                        mesh_shape=(1,), log_period=1, ckpt_period=100,
+                        loader=loader, resume=False, norm="BN")
+    assert state.batch_stats is not None
+    means = jax.tree_util.tree_leaves(state.batch_stats)
+    # stats moved away from the zero-mean init
+    assert any(float(jnp.abs(m).max()) > 0 for m in means)
