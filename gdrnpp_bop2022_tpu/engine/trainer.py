@@ -257,9 +257,12 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
                 tiles += [b["roi_img"][i] * 127 + 127, b["gt_xyz"][i],
                           b["gt_mask_visib"][i], b["gt_region"][i].astype(float)]
                 titles += [f"img{i}", "gt_xyz", "mask", "region"]
-            grid_show(tiles, titles,
-                      out_path=os.path.join(cfg.output_dir,
-                                            f"vis_{it+1:06d}.png"))
+            canvas = grid_show(tiles, titles,
+                               out_path=os.path.join(cfg.output_dir,
+                                                     f"vis_{it+1:06d}.png"))
+            if writer.tb is not None:
+                writer.tb.add_image("train/batch_vis", canvas, it + 1)
+                writer.tb.flush()
         if it + 1 < total_iters:
             host_batch = next(iter(loader))
     loader.close()

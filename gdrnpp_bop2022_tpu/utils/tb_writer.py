@@ -74,16 +74,25 @@ def _pb_varint(num: int, v: int) -> bytes:
 
 
 def _event(step: int = 0, wall_time: float = None, file_version: str = None,
-           scalars: dict = None) -> bytes:
+           scalars: dict = None, images: dict = None) -> bytes:
     msg = _pb_double(1, wall_time if wall_time is not None else time.time())
     msg += _pb_varint(2, step)
     if file_version is not None:
         msg += _pb_string(3, file_version.encode())
+    values = b""
     if scalars:
-        summary = b"".join(
+        values += b"".join(
             _pb_string(1, _pb_string(1, tag.encode()) + _pb_float(2, float(v)))
             for tag, v in scalars.items())
-        msg += _pb_string(5, summary)
+    if images:
+        for tag, (h, w, png) in images.items():
+            img_msg = (_pb_varint(1, h) + _pb_varint(2, w)
+                       + _pb_varint(3, 3)              # colorspace RGB
+                       + _pb_string(4, png))
+            values += _pb_string(1, _pb_string(1, tag.encode())
+                                 + _pb_string(4, img_msg))
+    if values:
+        msg += _pb_string(5, values)
     return msg
 
 
@@ -110,6 +119,18 @@ class TensorBoardWriter:
 
     def add_scalars(self, scalars: dict, step: int):
         self._f.write(_record(_event(step=step, scalars=scalars)))
+
+    def add_image(self, tag: str, img, step: int):
+        """img: (H, W, 3) uint8 RGB (reference: TB train-image/xyz/mask
+        dumps, my_writer.py:53 + engine.py:371-397)."""
+        import cv2
+        import numpy as np
+        img = np.asarray(img)
+        ok, png = cv2.imencode(".png", img[..., ::-1])   # RGB -> BGR
+        assert ok
+        self._f.write(_record(_event(
+            step=step,
+            images={tag: (img.shape[0], img.shape[1], png.tobytes())})))
 
     def flush(self):
         self._f.flush()

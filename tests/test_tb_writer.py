@@ -52,3 +52,20 @@ def test_trainer_writer_emits_tb(tmp_path):
     assert dict(events)[2]["total_loss"] == 1.0
     # metrics.json still written alongside
     assert os.path.exists(tmp_path / "metrics.json")
+
+
+def test_image_event(tmp_path):
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (16, 24, 3), np.uint8)
+    w = TensorBoardWriter(str(tmp_path))
+    w.add_image("vis/batch", img, step=5)
+    w.close()
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    data = open(files[0], "rb").read()
+    # the PNG payload is embedded verbatim in the summary
+    import cv2
+    ok, png = cv2.imencode(".png", img[..., ::-1])
+    assert png.tobytes() in data
+    assert b"vis/batch" in data
+    # scalar parser skips image events without corruption
+    assert read_events(files[0]) == []
