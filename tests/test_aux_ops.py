@@ -79,3 +79,44 @@ def test_extra_optimizers_minimize_quadratic():
     assert _quad_min(adabelief(1e-1)) < 1e-2
     assert _quad_min(madgrad(1e-1)) < 1e-2
     assert _quad_min(sgd_gc(1e-1, momentum=0.5)) < 1e-2
+
+
+def test_canny_edges_square():
+    """Edges of a bright square land on its border and nowhere in flat
+    regions (reference edge_utils.py Canny role)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gdrnpp_bop2022_tpu.ops.edges import canny_edges
+
+    img = np.zeros((1, 48, 64), np.float32)
+    img[:, 12:36, 20:52] = 200.0
+    edges = np.asarray(canny_edges(jnp.asarray(img), low_threshold=20.0))[0]
+    # border band contains edges
+    assert edges[10:14, 30].any() and edges[34:38, 30].any()
+    assert edges[24, 18:22].any() and edges[24, 50:54].any()
+    # interior + far background are edge-free
+    assert not edges[20:30, 30:44].any()
+    assert not edges[2:6, 2:10].any()
+    # thinned: the vertical response around a horizontal edge is narrow
+    assert edges[8:40, 30].sum() <= 6
+
+
+def test_canny_agrees_with_cv2_on_boundary():
+    import numpy as np
+    import cv2
+    import jax.numpy as jnp
+    from gdrnpp_bop2022_tpu.ops.edges import canny_edges
+
+    rs = np.random.RandomState(0)
+    img = np.zeros((64, 64), np.float32)
+    cv2.circle(img, (32, 32), 18, 220.0, -1)
+    img += rs.randn(64, 64).astype(np.float32) * 2
+
+    mine = np.asarray(canny_edges(jnp.asarray(img)[None],
+                                  low_threshold=30.0))[0]
+    ref = cv2.Canny(img.astype(np.uint8), 60, 120) > 0
+    # loose structural agreement: most of my edge pixels lie within 2px of
+    # a cv2 edge pixel (different NMS/hysteresis details are expected)
+    dil = cv2.dilate(ref.astype(np.uint8), np.ones((5, 5), np.uint8)) > 0
+    frac = (mine & dil).sum() / max(mine.sum(), 1)
+    assert frac > 0.9, frac

@@ -65,9 +65,12 @@ def test_two_dataset_synth_sweep(tmp_path):
 
     env = dict(os.environ)
     # GDRN_PLATFORM defeats the axon plugin's programmatic platform override
-    # in the tool subprocesses (inherited by the sweep's own subprocesses)
+    # in the tool subprocesses (inherited by the sweep's own subprocesses);
+    # 8 virtual devices additionally cover test_gdrn's mesh-sharded eval
     env["GDRN_PLATFORM"] = "cpu"
     env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "run_bop_sweep.py"),
          "--datasets", *names, "--root", str(root), "--mode", "eval",

@@ -97,8 +97,23 @@ def run_eval(cfg, meta, bank, ckpt_dir=None):
     else:
         post_mode = "direct"
 
+    # multi-host: round-robin the test images across processes (the
+    # reference splits the loader across DDP ranks)
+    if jax.process_count() > 1:
+        keys = sorted(by_im)
+        by_im = {k: by_im[k] for i, k in enumerate(keys)
+                 if i % jax.process_count() == jax.process_index()}
+
+    # shard eval over the configured mesh when more than one device is up
+    # (reference: DDP-rank-split eval, my_comm.py:70-173)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from gdrnpp_bop2022_tpu.parallel import make_mesh
+        mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
+
     batches = iter_test_batches(by_im, dets, batch_size=64,
-                                with_depth=post_mode == "depth_refine",
+                                with_depth=(post_mode == "depth_refine"
+                                            or cfg.input.with_depth),
                                 depth_factor=meta.depth_factor)
     results = run_gdrn_inference(
         apply_fn, params, batches, bank.extents,
@@ -107,7 +122,15 @@ def run_eval(cfg, meta, bank, ckpt_dir=None):
         post_mode=post_mode, model_bank=bank,
         depth_refine_iters=cfg.val.depth_refine_iters,
         depth_refine_threshold=cfg.val.depth_refine_threshold,
-        mask_loss_type=cfg.model.pose_net.loss.mask_loss_type)
+        mask_loss_type=cfg.model.pose_net.loss.mask_loss_type,
+        with_depth_input=cfg.input.with_depth,
+        bp_depth=cfg.input.bp_depth,
+        mesh=mesh)
+
+    # multi-host: gather result rows from all processes (single-process
+    # no-op; reference my_comm.all_gather of pickled predictions)
+    from gdrnpp_bop2022_tpu.parallel.distributed import gather_results
+    results = gather_results(results)
 
     out_dir = os.path.join(cfg.output_dir, "inference", test_name)
     os.makedirs(out_dir, exist_ok=True)
