@@ -58,7 +58,8 @@ def make_train_step(cfg, sym_bank=None, sym_mask=None):
             "z_rel": outputs["z_rel"],
         }
         losses = compute_gdrn_losses(cfg, out_for_loss, batch,
-                                     sym_bank=sym_bank, sym_mask=sym_mask)
+                                     sym_bank=sym_bank, sym_mask=sym_mask,
+                                     log_vars=outputs.get("log_vars"))
         total = sum(losses.values())
         metrics = dict(losses)
         metrics["total_loss"] = total

@@ -183,6 +183,7 @@ def compute_gdrn_losses(
     batch: dict,
     sym_bank: Optional[jax.Array] = None,
     sym_mask: Optional[jax.Array] = None,
+    log_vars: Optional[dict] = None,
 ) -> dict:
     """Assemble the full GDRN loss dict from model outputs + batch GT.
 
@@ -287,4 +288,12 @@ def compute_gdrn_losses(
                              precision=jax.lax.Precision.HIGHEST)
         losses["loss_bind"] = jnp.mean(_elem_loss(pred_bind, gt_bind, lc.bind_loss_type)) * lc.bind_lw
 
+    if lc.use_mtl and log_vars is not None:
+        # learned task-uncertainty weighting (reference
+        # GDRN_double_mask.py:531-535): L*exp(-a) + log(1 + exp(a))
+        for k in list(losses):
+            lv = log_vars.get(k[len("loss_"):])
+            if lv is not None:
+                losses[k] = (losses[k] * jnp.exp(-lv)
+                             + jnp.log1p(jnp.exp(lv)))
     return losses

@@ -182,6 +182,18 @@ class GDRN(nn.Module):
             region_out_dim=region_dim,
             dtype=self.dtype,
         )
+        # learned task-uncertainty weighting (reference USE_MTL,
+        # GDRN_double_mask.py:54-64: one log-variance per loss term)
+        self._mtl_names = (
+            "mask", "mask_full", "coor_x", "coor_y", "coor_z", "region",
+            "PM_R", "PM_xy", "PM_z", "PM_xy_noP", "PM_z_noP", "PM_T",
+            "PM_T_noP", "centroid", "z", "trans_xy", "trans_z", "trans_LPnP",
+            "rot", "bind") if pc.loss.use_mtl else ()
+        self._mtl_log_vars = {
+            name: self.param(f"log_var_{name}", nn.initializers.zeros,
+                             (), jnp.float32)
+            for name in self._mtl_names}
+
         pn = pc.pnp_net
         rot_dim = 6 if "rot6d" in pn.rot_type else 4
         # explicit registry: unknown names must fail loudly, not fall back
@@ -334,6 +346,7 @@ class GDRN(nn.Module):
             raise ValueError(pn.trans_type)
 
         return {
+            "log_vars": dict(self._mtl_log_vars) if self._mtl_names else None,
             "rot": rot_ego,
             "rot_allo": rot_allo,
             "trans": trans,

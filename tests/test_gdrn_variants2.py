@@ -189,3 +189,37 @@ def test_repeat_factor_sampler(tmp_path):
 
     with pytest.raises(ValueError, match="sampler"):
         GdrnTrainLoader(recs, 4, 160, 120, sampler="nope")
+
+
+def test_mtl_uncertainty_weighting():
+    """use_mtl: learned per-loss log-variances exist as params and receive
+    gradients through the weighted total loss (reference USE_MTL,
+    GDRN_double_mask.py:54-64, :531-535)."""
+    from gdrnpp_bop2022_tpu.engine.train_step import make_train_step
+    from gdrnpp_bop2022_tpu.engine import create_train_state
+    from gdrnpp_bop2022_tpu.geometry.symmetry import build_sym_bank
+    import optax
+
+    cfg = _cfg(**{"model.pose_net.loss.use_mtl": True})
+    pc = cfg.model.pose_net
+    model = build_gdrn(cfg)
+    batch = fake_gdrn_batch(2, pc.input_res, pc.output_res, pc.num_classes,
+                            pc.geo_head.num_regions, num_points=32)
+    batch = jax.tree.map(jnp.asarray, batch)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch["roi_img"],
+        batch["roi_labels"], batch["roi_coord_2d"], batch["roi_cams"],
+        batch["roi_centers"], batch["roi_whs"], batch["roi_extents"],
+        batch["resize_ratios"])
+    assert "log_var_mask" in variables["params"]
+    assert "log_var_PM_R" in variables["params"]
+
+    state = create_train_state(model.apply, variables["params"],
+                               optax.sgd(1e-3))
+    sym_bank, sym_mask = build_sym_bank([None] * pc.num_classes)
+    step = make_train_step(cfg, sym_bank, sym_mask)
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1),
+                           jnp.asarray(0.5))
+    assert np.isfinite(float(metrics["total_loss"]))
+    # active losses' log-vars moved; the mask log-var is active by default
+    assert float(jnp.abs(state2.params["log_var_mask"])) > 0
