@@ -38,6 +38,15 @@ def main():
     ap.add_argument("--max-iters", type=int, default=None)
     args = ap.parse_args()
 
+    # test/CI escape hatch: the axon TPU plugin programmatically overrides
+    # JAX_PLATFORMS; GDRN_PLATFORM forces the platform before backend init
+    if os.environ.get("GDRN_PLATFORM"):
+        import jax
+        try:
+            jax.config.update("jax_platforms", os.environ["GDRN_PLATFORM"])
+        except Exception:
+            pass
+
     from gdrnpp_bop2022_tpu.config import parse_opts, replace_cfg
     cfg = load_config(args.config)
     if args.opts:
@@ -78,9 +87,52 @@ def main():
     records = records_for(cfg.datasets.train)
     records2 = records_for(cfg.datasets.train2) if cfg.datasets.train2 else None
 
+    # periodic in-train BOP eval (reference: periodic do_test,
+    # engine.py:345-363) — enabled by train.eval_period + det files; scores
+    # mssd/mspd (vsd needs depth renders — left to the full eval CLI)
+    eval_fn = None
+    if cfg.train.eval_period > 0 and cfg.datasets.det_files_test:
+        from gdrnpp_bop2022_tpu.datasets.bop_data import (
+            load_detections, make_records_by_image)
+        from gdrnpp_bop2022_tpu.datasets.test_loader import iter_test_batches
+        from gdrnpp_bop2022_tpu.engine.inference import run_gdrn_inference
+        from gdrnpp_bop2022_tpu.eval.scorer import score_bop_results
+        import jax
+
+        test_name = cfg.datasets.test[0]
+        split = test_name.split("_", 1)[1] if "_" in test_name else "test"
+        test_dir = os.path.join(cfg.datasets.root, meta.name, split)
+        test_records = index_bop_split(test_dir, meta)
+        by_im = make_records_by_image(test_records)
+        dets = load_detections(cfg.datasets.det_files_test[0], meta,
+                               top_k_per_obj=cfg.datasets.det_topk_per_obj,
+                               score_thr=cfg.datasets.det_thr)
+        gt_rows = [{"scene_id": r.scene_id, "im_id": r.im_id,
+                    "obj_id": r.obj_id, "R": r.pose[:, :3],
+                    "t": r.pose[:, 3], "visib_fract": r.visib_fract}
+                   for r in test_records if r.pose is not None]
+        pc = cfg.model.pose_net
+
+        def eval_fn(state, iteration):
+            apply = lambda p, b: state.apply_fn({"params": p}, **b)
+            results = run_gdrn_inference(
+                apply, state.ema_params if cfg.model.ema_enabled
+                else state.params,
+                iter_test_batches(by_im, dets, batch_size=64),
+                bank.extents, input_res=pc.input_res,
+                output_res=pc.output_res,
+                pixel_mean=cfg.model.pixel_mean,
+                pixel_std=cfg.model.pixel_std)
+            scores = score_bop_results(results, gt_rows, bank,
+                                       im_width=meta.width,
+                                       errors=("mssd", "mspd"))
+            return {k: v for k, v in scores.items()
+                    if k in ("AR", "AR_mssd", "AR_mspd", "add_10", "re_5")}
+
     from gdrnpp_bop2022_tpu.engine.trainer import train_gdrn
     train_gdrn(cfg, records, bank, records2=records2,
-               max_iters=args.max_iters, resume=args.resume, meta=meta)
+               max_iters=args.max_iters, resume=args.resume, meta=meta,
+               eval_fn=eval_fn)
 
 
 if __name__ == "__main__":
