@@ -169,3 +169,89 @@ def random_rotations(key: jax.Array, n: int, dtype=jnp.float32) -> jax.Array:
     """Uniform random rotation matrices via normalized quaternions."""
     q = jax.random.normal(key, (n, 4), dtype=dtype)
     return quat_to_mat(normalize(q))
+
+
+# ---------------------------------------------------------------------------
+# Lie algebra so(3) maps and log-quaternions
+# (reference: core/utils/lie_algebra.py:7-147, core/utils/quaternion_lf.py:294-342)
+# All branch-free: the small-angle limit is handled with jnp.where-guarded
+# Taylor terms so the maps stay jit/grad-safe at the identity.
+# ---------------------------------------------------------------------------
+
+def lie_vec_to_rot(vec: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """SO(3) exponential map: axis-angle vector (..., 3) -> (..., 3, 3).
+
+    Rodrigues' formula R = I + sin(t)/t [v]x + (1-cos t)/t^2 [v]x^2, with the
+    Taylor limits sin(t)/t -> 1, (1-cos t)/t^2 -> 1/2 near t = 0
+    (reference lie_vec_to_rot, lie_algebra.py:7-77).
+    """
+    t2 = jnp.sum(vec * vec, axis=-1)
+    t = jnp.sqrt(jnp.maximum(t2, eps * eps))
+    small = t2 < eps
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t) / t)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t)) / jnp.maximum(t2, eps * eps))
+    x, y, z = vec[..., 0], vec[..., 1], vec[..., 2]
+    zero = jnp.zeros_like(x)
+    K = jnp.stack([
+        jnp.stack([zero, -z, y], axis=-1),
+        jnp.stack([z, zero, -x], axis=-1),
+        jnp.stack([-y, x, zero], axis=-1),
+    ], axis=-2)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=vec.dtype), K.shape)
+    KK = jnp.matmul(K, K, precision=jax.lax.Precision.HIGHEST)
+    return eye + a[..., None, None] * K + b[..., None, None] * KK
+
+
+def rot_to_lie_vec(rot: jax.Array) -> jax.Array:
+    """SO(3) log map: (..., 3, 3) -> axis-angle vector (..., 3)
+    (reference rot_to_lie_vec, lie_algebra.py:80-99: via quaternion)."""
+    return quat_to_lie_vec(mat_to_quat(rot))
+
+
+def quat_to_lie_vec(q: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Unit quaternion (w,x,y,z) -> axis-angle vector
+    (reference quaternion_to_lie_vec, lie_algebra.py:102-144)."""
+    q = q * jnp.sign(jnp.where(q[..., 0:1] == 0, 1.0, q[..., 0:1]))
+    sin_half = jnp.linalg.norm(q[..., 1:], axis=-1)
+    cos_half = q[..., 0]
+    half = jnp.arctan2(sin_half, cos_half)
+    # 2*half / sin(half), with the limit 2/(1 - t^2/6) ~ 2 at half -> 0
+    k = jnp.where(sin_half < eps, 2.0 + (2.0 / 6.0) * half * half,
+                  2.0 * half / jnp.maximum(sin_half, eps))
+    return q[..., 1:] * k[..., None]
+
+
+def qlog(q: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Log of a unit quaternion -> pure-imaginary part (..., 3), i.e. half the
+    axis-angle vector (reference quaternion_lf.qlog:321-339)."""
+    return 0.5 * quat_to_lie_vec(q, eps=eps)
+
+
+def qexp(v: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Exp of a pure-imaginary quaternion (..., 3) -> unit quaternion (w,x,y,z)
+    (reference quaternion_lf.qexp:294-318). Grad-safe at v = 0: the norm's
+    sqrt is guarded before differentiation, not after."""
+    t2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    small = t2 < eps * eps
+    t = jnp.sqrt(jnp.where(small, 1.0, t2))
+    sinc = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t) / t)
+    w = jnp.where(small, 1.0 - t2 / 2.0, jnp.cos(t))
+    return jnp.concatenate([w, v * sinc], axis=-1)
+
+
+def quat_rotate_vector(q: jax.Array, v: jax.Array) -> jax.Array:
+    """Rotate vectors (..., 3) by unit quaternions (..., 4) without building
+    matrices: v + 2 q_w (q_v x v) + 2 q_v x (q_v x v)
+    (reference quaternion_lf.rotate_vector:238-254)."""
+    qv = q[..., 1:]
+    uv = jnp.cross(qv, v)
+    uuv = jnp.cross(qv, uv)
+    return v + 2.0 * (q[..., 0:1] * uv + uuv)
+
+
+def quat_angular_distance(q1: jax.Array, q2: jax.Array,
+                          eps: float = 1e-7) -> jax.Array:
+    """Geodesic angle between unit quaternions, sign-invariant
+    (reference quaternion_lf.angular_distance:376-390)."""
+    d = jnp.abs(jnp.sum(q1 * q2, axis=-1))
+    return 2.0 * jnp.arccos(jnp.clip(d, 0.0, 1.0 - eps))

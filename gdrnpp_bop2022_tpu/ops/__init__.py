@@ -9,3 +9,4 @@ from .ransac_voting import ransac_voting_layer, ransac_voting_keypoint
 from .flow import flow_from_depth
 from .depth_aug import add_noise_depth, bilateral_depth_smooth
 from .pallas_ln import layer_norm_pallas
+from . import color_space
