@@ -113,3 +113,129 @@ def sgd_gc(learning_rate, momentum=0.9, weight_decay=0.0,
         optax.sgd(learning_rate, momentum=momentum),
         optax.add_decayed_weights(-weight_decay) if weight_decay else optax.identity(),
     )
+
+
+# ---------------------------------------------------------------------------
+# AdamP / SGDP (reference: lib/torch_utils/solver/adamp.py, sgdp.py,
+# registered at core/utils/solver_utils.py:60-65). The key idea: for
+# scale-invariant weights (those whose gradient is nearly orthogonal to the
+# weight — e.g. anything followed by a normalization layer), remove the
+# radial component of the update so the effective step does not blow up the
+# weight norm, and shrink weight decay by wd_ratio.
+#
+# Torch views a kernel as (C_out, rest); flax conv kernels are
+# (kh, kw, I, O), so the channel view here groups by the LAST axis — the
+# same per-output-filter grouping, transposed. The reference's data-
+# dependent `if cosine_sim.max() < ...: return` becomes nested jnp.where.
+# ---------------------------------------------------------------------------
+
+
+def _cosine_max(x, y, eps):
+    """max over rows of |cos(x_r, y_r)| for 2D views (rows, cols)."""
+    num = jnp.abs(jnp.sum(x * y, axis=1))
+    den = jnp.maximum(jnp.linalg.norm(x, axis=1) * jnp.linalg.norm(y, axis=1), eps)
+    return jnp.max(num / den)
+
+
+def _projected(p2, u2, eps):
+    """Remove the component of each row of u2 along the same row of p2."""
+    p_n = p2 / (jnp.linalg.norm(p2, axis=1, keepdims=True) + eps)
+    return u2 - p_n * jnp.sum(p_n * u2, axis=1, keepdims=True)
+
+
+def _adamp_project(p, grad, perturb, delta, wd_ratio, eps):
+    """(perturb', wd_ratio') per reference adamp.py:48-62."""
+    if p.ndim <= 1:
+        return perturb, jnp.float32(1.0)
+    ch = lambda x: x.reshape(-1, x.shape[-1]).T       # (C_out, rest)
+    ly = lambda x: x.reshape(1, -1)
+    n_ch = ch(p).shape[1]
+    n_ly = p.size
+    cond_ch = _cosine_max(ch(grad), ch(p), eps) < delta / jnp.sqrt(jnp.float32(n_ch))
+    cond_ly = _cosine_max(ly(grad), ly(p), eps) < delta / jnp.sqrt(jnp.float32(n_ly))
+    proj_ch = _projected(ch(p), ch(perturb), eps).T.reshape(p.shape)
+    proj_ly = _projected(ly(p), ly(perturb), eps).reshape(p.shape)
+    out = jnp.where(cond_ch, proj_ch, jnp.where(cond_ly, proj_ly, perturb))
+    wd = jnp.where(cond_ch | cond_ly, wd_ratio, 1.0).astype(jnp.float32)
+    return out, wd
+
+
+class AdamPState(NamedTuple):
+    count: jax.Array
+    exp_avg: optax.Updates
+    exp_avg_sq: optax.Updates
+
+
+def adamp(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
+          delta=0.1, wd_ratio=0.1, nesterov=False) -> optax.GradientTransformation:
+    """AdamP (reference adamp.py:13-122) as one optax transformation."""
+
+    def init_fn(params):
+        return AdamPState(jnp.zeros([], jnp.int32),
+                          jax.tree.map(jnp.zeros_like, params),
+                          jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("adamp requires params")
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        bias1 = 1.0 - jnp.power(b1, t)
+        bias2 = 1.0 - jnp.power(b2, t)
+        lr = learning_rate(count - 1) if callable(learning_rate) else learning_rate
+        exp_avg = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                               state.exp_avg, updates)
+        exp_avg_sq = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                                  state.exp_avg_sq, updates)
+
+        def leaf(p, g, m, v):
+            denom = jnp.sqrt(v) / jnp.sqrt(bias2) + eps
+            perturb = ((b1 * m + (1 - b1) * g) / denom if nesterov
+                       else m / denom)
+            perturb, wd = _adamp_project(p, g, perturb, delta, wd_ratio, eps)
+            step = -(lr / bias1) * perturb
+            if weight_decay > 0:
+                step = step - lr * weight_decay * wd * p
+            return step
+
+        delta_tree = jax.tree.map(leaf, params, updates, exp_avg, exp_avg_sq)
+        return delta_tree, AdamPState(count, exp_avg, exp_avg_sq)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class SGDPState(NamedTuple):
+    count: jax.Array
+    momentum: optax.Updates
+
+
+def sgdp(learning_rate, momentum=0.9, dampening=0.0, weight_decay=0.0,
+         delta=0.1, wd_ratio=0.1, nesterov=False,
+         eps=1e-8) -> optax.GradientTransformation:
+    """SGDP (reference sgdp.py:13-116) as one optax transformation."""
+
+    def init_fn(params):
+        return SGDPState(jnp.zeros([], jnp.int32),
+                         jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("sgdp requires params")
+
+        buf = jax.tree.map(lambda b, g: momentum * b + (1 - dampening) * g,
+                           state.momentum, updates)
+        lr = (learning_rate(state.count) if callable(learning_rate)
+              else learning_rate)
+
+        def leaf(p, g, b):
+            d_p = g + momentum * b if nesterov else b
+            d_p, wd = _adamp_project(p, g, d_p, delta, wd_ratio, eps)
+            step = -lr * d_p
+            if weight_decay > 0:
+                step = step - lr * weight_decay * wd / (1 - momentum) * p
+            return step
+
+        delta_tree = jax.tree.map(leaf, params, updates, buf)
+        return delta_tree, SGDPState(state.count + 1, buf)
+
+    return optax.GradientTransformation(init_fn, update_fn)

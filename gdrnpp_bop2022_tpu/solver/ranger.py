@@ -43,8 +43,15 @@ def ranger(
     weight_decay: float = 0.0,
     use_gc: bool = True,
     gc_conv_only: bool = False,
+    belief: bool = False,
 ) -> optax.GradientTransformation:
-    """Build the Ranger transformation. Pass params to update()."""
+    """Build the Ranger transformation. Pass params to update().
+
+    belief=True gives RangerAdaBelief (reference
+    lib/torch_utils/solver/ranger_adabelief.py, solver_utils.py:54-59):
+    the second moment tracks the variance of the gradient around its EMA,
+    (g - m)^2, instead of the raw g^2.
+    """
     gc_dim_threshold = 3 if gc_conv_only else 1
 
     def init_fn(params):
@@ -66,8 +73,13 @@ def ranger(
                 lambda g: _centralize(g) if g.ndim > gc_dim_threshold else g, updates)
 
         exp_avg = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.exp_avg, updates)
-        exp_avg_sq = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
-                                  state.exp_avg_sq, updates)
+        if belief:
+            exp_avg_sq = jax.tree.map(
+                lambda v, g, m: b2 * v + (1 - b2) * (g - m) * (g - m),
+                state.exp_avg_sq, updates, exp_avg)
+        else:
+            exp_avg_sq = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                                      state.exp_avg_sq, updates)
 
         beta2_t = jnp.power(b2, t)
         n_sma_max = 2.0 / (1.0 - b2) - 1.0
@@ -123,6 +135,15 @@ def build_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
     name = sc.optimizer.lower()
     if name == "ranger":
         tx = ranger(lr_schedule, weight_decay=sc.weight_decay)
+    elif name in ("rangeradabelief", "ranger_adabelief"):
+        tx = ranger(lr_schedule, weight_decay=sc.weight_decay, belief=True)
+    elif name == "adamp":
+        from .optimizers import adamp
+        tx = adamp(lr_schedule, weight_decay=sc.weight_decay)
+    elif name == "sgdp":
+        from .optimizers import sgdp
+        tx = sgdp(lr_schedule, momentum=sc.momentum,
+                  weight_decay=sc.weight_decay)
     elif name == "adamw":
         tx = optax.adamw(lr_schedule, weight_decay=sc.weight_decay)
     elif name == "adam":
