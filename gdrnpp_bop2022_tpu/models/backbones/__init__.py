@@ -1,5 +1,6 @@
 from .convnext import ConvNeXt, convnext_tiny, convnext_small, convnext_base
-from .resnet import ResNet, resnet34, resnet50
+from .resnet import ResNet, resnet34, resnet50, resnet101
+from .resnest import ResNeSt, resnest50, resnest101
 
 BACKBONES = {
     "convnext_tiny": convnext_tiny,
@@ -7,6 +8,9 @@ BACKBONES = {
     "convnext_base": convnext_base,
     "resnet34": resnet34,
     "resnet50": resnet50,
+    "resnet101": resnet101,
+    "resnest50": resnest50,
+    "resnest101": resnest101,
 }
 
 

@@ -27,6 +27,7 @@ from ..geometry.se3 import (
 )
 from .backbones.convnext import convnext_tiny, convnext_small, convnext_base
 from .backbones.resnet import resnet34, resnet50, resnet101
+from .backbones.resnest import resnest50, resnest101
 
 
 class _CSPDarknetBackbone(nn.Module):
@@ -62,6 +63,8 @@ def _build_backbone(cfg: PoseNetConfig, dtype, out_indices=None):
         "resnet34": resnet34,
         "resnet50": resnet50,
         "resnet101": resnet101,
+        "resnest50": resnest50,
+        "resnest101": resnest101,
         "cspdarknet": _CSPDarknetBackbone,
     }
     if name not in builders:
