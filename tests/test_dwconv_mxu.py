@@ -1,0 +1,68 @@
+"""MXU depthwise-conv lowering: numerical parity with the XLA conv path,
+identical parameter tree (checkpoint interchangeability), gradient parity.
+
+The lowering (models/backbones/convnext.py::_dwconv_mxu) rewrites the
+VPU-bound depthwise 7x7 as two MXU matmuls — measured 4.25x faster at
+ConvNeXt-base stage-2 shapes on TPU v5lite.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gdrnpp_bop2022_tpu.models.backbones.convnext import (ConvNeXt,
+                                                          ConvNeXtBlock)
+
+
+def _block_pair(dim=32, H=8, W=8, B=2):
+    x = jnp.asarray(np.random.RandomState(0).randn(B, H, W, dim), jnp.float32)
+    b_conv = ConvNeXtBlock(dim, dw_mode="conv", dtype=jnp.float32)
+    b_mxu = ConvNeXtBlock(dim, dw_mode="mxu", dtype=jnp.float32)
+    v = b_conv.init(jax.random.PRNGKey(0), x)
+    return x, b_conv, b_mxu, v
+
+
+def test_param_trees_identical():
+    x, b_conv, b_mxu, v_conv = _block_pair()
+    v_mxu = b_mxu.init(jax.random.PRNGKey(0), x)
+    t1 = jax.tree.map(lambda a: (a.shape, a.dtype), v_conv)
+    t2 = jax.tree.map(lambda a: (a.shape, a.dtype), v_mxu)
+    assert t1 == t2
+
+
+def test_forward_parity_fp32():
+    x, b_conv, b_mxu, v = _block_pair()
+    y_conv = b_conv.apply(v, x)
+    y_mxu = b_mxu.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_conv), np.asarray(y_mxu),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_gradient_parity_fp32():
+    x, b_conv, b_mxu, v = _block_pair()
+
+    def loss(variables, mod):
+        return jnp.sum(jnp.sin(mod.apply(variables, x)))
+
+    from jax.flatten_util import ravel_pytree
+    g_conv = jax.grad(loss)(v, b_conv)
+    g_mxu = jax.grad(loss)(v, b_mxu)
+    flat_c, _ = ravel_pytree(g_conv)
+    flat_m, _ = ravel_pytree(g_mxu)
+    np.testing.assert_allclose(np.asarray(flat_c), np.asarray(flat_m),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_auto_mode_in_full_backbone():
+    # auto: mxu at 16x16/8x8 stages, conv at larger — output must match the
+    # all-conv lowering on the same params
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 64, 64, 3), jnp.float32)
+    m_auto = ConvNeXt(depths=(1, 1, 2, 1), dims=(16, 32, 64, 128),
+                      dw_mode="auto", dtype=jnp.float32)
+    m_conv = ConvNeXt(depths=(1, 1, 2, 1), dims=(16, 32, 64, 128),
+                      dw_mode="conv", dtype=jnp.float32)
+    v = m_conv.init(jax.random.PRNGKey(0), x)
+    y_auto = m_auto.apply(v, x)
+    y_conv = m_conv.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_conv),
+                               atol=5e-5, rtol=1e-4)
