@@ -75,6 +75,39 @@ def make_yolox_train_step(model, strides=(8, 16, 32), use_l1=False,
     return step
 
 
+def precise_bn_stats(model, params, batch_stats, image_batches,
+                     momentum=None):
+    """Recompute BatchNorm running stats as the TRUE average over the given
+    batches (reference: fvcore PreciseBN hook, yolox_trainer.py:242-250).
+
+    Works at any BN momentum m without rebuilding the model: one mutable
+    apply turns ra into ra' = m*ra + (1-m)*b, so the batch statistic is
+    recovered as b = (ra' - m*ra) / (1-m), then plainly averaged.
+    """
+    if momentum is None:
+        from ..models.yolox.darknet import BN_MOMENTUM
+        momentum = BN_MOMENTUM
+
+    @jax.jit
+    def one(ra, imgs):
+        _, upd = model.apply({"params": params, "batch_stats": ra},
+                             imgs, mutable=["batch_stats"])
+        new_ra = upd["batch_stats"]
+        b = jax.tree.map(lambda n, o: (n - momentum * o) / (1.0 - momentum),
+                         new_ra, ra)
+        return new_ra, b
+
+    ra = batch_stats
+    total, n = None, 0
+    for imgs in image_batches:
+        ra, b = one(ra, jnp.asarray(imgs))
+        total = b if total is None else jax.tree.map(jnp.add, total, b)
+        n += 1
+    if n == 0:
+        return batch_stats
+    return jax.tree.map(lambda s: s / n, total)
+
+
 def multiscale_resize(images: jax.Array, boxes: jax.Array, size: int):
     """Device-side multiscale: bilinear-resize the batch to (size, size) and
     rescale gt boxes (reference yolox_trainer.py:413-416 random_resize +
@@ -104,7 +137,8 @@ def train_yolox(records, num_classes: int, output_dir: str,
                 mosaic_prob: Optional[float] = None,
                 mixup_prob: Optional[float] = None,
                 ema_decay: float = 0.9998,
-                norm: str = "GN"):
+                norm: str = "GN",
+                precise_bn_iters: int = 0):
     """Train YOLOX on detection records. Returns final TrainState.
 
     eval_fn(params, iteration) -> metrics dict is called with the EMA
@@ -201,8 +235,23 @@ def train_yolox(records, num_classes: int, output_dir: str,
             ckpt.save(state, it + 1)
         if (eval_fn is not None and eval_period > 0
                 and ((it + 1) % eval_period == 0 or (it + 1) == total_iters)):
+            if with_bs and precise_bn_iters > 0:
+                # recompute BN stats over clean train batches before eval
+                # (reference PreciseBN hook, yolox_trainer.py:242-250)
+                def _bn_batches():
+                    for _ in range(precise_bn_iters):
+                        yield next(iter(loader))["images"].astype(np.float32)
+                state = state.replace(batch_stats=precise_bn_stats(
+                    model, state.params, state.batch_stats, _bn_batches()))
             # eval with EMA weights (reference evaluates the EMA model)
-            val_metrics = eval_fn(jax.device_get(state.ema_params), it + 1)
+            import inspect
+            if (with_bs and "batch_stats"
+                    in inspect.signature(eval_fn).parameters):
+                val_metrics = eval_fn(jax.device_get(state.ema_params), it + 1,
+                                      batch_stats=jax.device_get(
+                                          state.batch_stats))
+            else:
+                val_metrics = eval_fn(jax.device_get(state.ema_params), it + 1)
             row = {f"val/{k_}": float(v) for k_, v in val_metrics.items()}
             row["iteration"] = it + 1
             with open(metrics_path, "a") as f:

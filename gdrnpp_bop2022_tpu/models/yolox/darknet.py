@@ -17,6 +17,10 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+# flax momentum = 1 - torch momentum (reference BatchNorm2d momentum=0.03,
+# network_blocks.py:32-47); also read by precise-BN stat recovery
+BN_MOMENTUM = 0.97
+
 
 class ConvBnAct(nn.Module):
     features: int
@@ -43,7 +47,7 @@ class ConvBnAct(nn.Module):
         if self.norm == "BN":
             # train mode iff batch_stats is mutable in this apply
             use_ra = not self.is_mutable_collection("batch_stats")
-            x = nn.BatchNorm(use_running_average=use_ra, momentum=0.97,
+            x = nn.BatchNorm(use_running_average=use_ra, momentum=BN_MOMENTUM,
                              epsilon=1e-3, dtype=jnp.float32,
                              param_dtype=jnp.float32)(
                                  x.astype(jnp.float32)).astype(orig)

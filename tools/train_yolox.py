@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--total-iters", type=int, default=30000)
     ap.add_argument("--no-aug-iters", type=int, default=2000)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--norm", default="GN", choices=["GN", "BN"])
+    ap.add_argument("--precise-bn-iters", type=int, default=0,
+                    help="recompute BN stats over N clean batches before "
+                         "each in-train eval (reference PreciseBN hook)")
     args = ap.parse_args()
 
     from gdrnpp_bop2022_tpu.datasets.meta import get_meta
@@ -45,7 +49,8 @@ def main():
     print(f"{len(det_records)} training images")
     train_yolox(det_records, meta.num_classes, out, size=args.size,
                 input_size=args.input_size, batch_size=args.batch_size,
-                total_iters=args.total_iters, no_aug_iters=args.no_aug_iters)
+                total_iters=args.total_iters, no_aug_iters=args.no_aug_iters,
+                norm=args.norm, precise_bn_iters=args.precise_bn_iters)
 
 
 if __name__ == "__main__":
