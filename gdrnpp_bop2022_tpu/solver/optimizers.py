@@ -3,8 +3,9 @@ transformations.
 
 Reference: lib/torch_utils/solver/ (19 optimizer files; registry
 core/utils/solver_utils.py:28-72). Ranger lives in solver/ranger.py; here:
-AdaBelief, MADGRAD, SGD with gradient centralization, AdamP-style
-projection. Lamb/RAdam/Adam/SGD come from optax directly.
+AdaBelief, MADGRAD, SGD with gradient centralization, AdamP/SGDP
+projection optimizers, Ranger21. Lamb/RAdam/Adam/SGD come from optax
+directly.
 """
 
 from __future__ import annotations
@@ -237,5 +238,139 @@ def sgdp(learning_rate, momentum=0.9, dampening=0.0, weight_decay=0.0,
 
         delta_tree = jax.tree.map(leaf, params, updates, buf)
         return delta_tree, SGDPState(state.count + 1, buf)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+# ---------------------------------------------------------------------------
+# Ranger21 (reference: lib/torch_utils/solver/ranger21.py, registered at
+# core/utils/solver_utils.py:38-41). The Adam/PNM engine with the vendored
+# file's DEFAULT feature set: adaptive gradient clipping (agc, :271-299),
+# gradient centralization + std-normalization (:54-82), positive-negative
+# momentum with alternating EMAs (:545-600), softplus-smoothed denominator
+# (beta=50), STABLE weight decay (decay / sqrt(mean of debiased v) over the
+# whole tree, :418-431), norm loss (pulls unit-wise weight norms toward 1,
+# :476-480), and lookahead (k=5, alpha=0.5, :608-645).
+#
+# Faithful-semantics notes: the vendored `torch.max(max_variance_ma,
+# variance_ma, out=variance_ma)` writes into variance_ma with a never-
+# updated zero max-buffer, i.e. it is a no-op — not reproduced. unit_norm
+# groups by output filter; flax kernels are (kh, kw, I, O) so "all dims but
+# the last" is the same grouping transposed. The reference applies no
+# internal warmup/warmdown — the external schedule drives lr, as here.
+# ---------------------------------------------------------------------------
+
+
+class Ranger21State(NamedTuple):
+    count: jax.Array
+    grad_ma: optax.Updates       # positive-step EMA
+    neg_grad_ma: optax.Updates   # negative-step EMA
+    variance_ma: optax.Updates
+    slow: optax.Updates          # lookahead
+
+
+def _unit_norm(x: jax.Array) -> jax.Array:
+    """Euclidean norm grouped per output unit (last axis for flax kernels;
+    scalar norm for vectors) — reference ranger21.py:251-269."""
+    if x.ndim <= 1:
+        return jnp.linalg.norm(x)
+    axes = tuple(range(x.ndim - 1))
+    return jnp.sqrt(jnp.sum(x * x, axis=axes, keepdims=True))
+
+
+def ranger21(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-4,
+             use_gc=True, use_gcnorm=True, agc_clip=1e-2, agc_eps=1e-3,
+             pnm_factor=1.0, softplus_beta=50.0, normloss_factor=1e-4,
+             lookahead_k=6, lookahead_alpha=0.5) -> optax.GradientTransformation:
+    """Ranger21 as one fused optax transformation (see block comment)."""
+    noise_norm = jnp.sqrt((1.0 + b2) ** 2 + b2 ** 2)
+
+    def init_fn(params):
+        z = lambda: jax.tree.map(jnp.zeros_like, params)
+        return Ranger21State(jnp.zeros([], jnp.int32), z(), z(), z(),
+                             jax.tree.map(jnp.copy, params))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("ranger21 requires params")
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        lr = learning_rate(count - 1) if callable(learning_rate) else learning_rate
+        bc1 = 1.0 - jnp.power(b1, t)
+        bc2 = 1.0 - jnp.power(b2, t)
+
+        def precondition(p, g):
+            # agc: clip per output unit to agc_clip * ||p|| (:271-299)
+            p_n = jnp.maximum(_unit_norm(p), agc_eps)
+            g_n = _unit_norm(g)
+            max_n = p_n * agc_clip
+            g = jnp.where(g_n > max_n,
+                          g * (max_n / jnp.maximum(g_n, 1e-6)), g)
+            if use_gc and g.ndim > 1:
+                g = g - jnp.mean(g, axis=tuple(range(1, g.ndim)), keepdims=True)
+            if use_gcnorm and g.size > 2:
+                g = g / (jnp.std(g) + 1e-8)
+            return g
+
+        grads = jax.tree.map(precondition, params, updates)
+
+        variance_ma = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                                   state.variance_ma, grads)
+        # stable-decay scalar: sqrt of the tree-wide mean of debiased v
+        v_sum = sum(jnp.sum(v) for v in jax.tree.leaves(variance_ma)) / bc2
+        n_param = sum(v.size for v in jax.tree.leaves(variance_ma))
+        # eps floor: all-zero variance (e.g. first step with centralized
+        # constant grads) must not blow up the stable-decay division
+        variance_normalized = jnp.maximum(jnp.sqrt(v_sum / n_param), eps)
+
+        # pnm: odd steps update grad_ma, even steps update neg_grad_ma
+        odd = (count % 2) == 1
+
+        def upd_ema(m, g):
+            return b1 * b1 * m + (1 - b1 * b1) * g
+
+        grad_ma = jax.tree.map(
+            lambda m, g: jnp.where(odd, upd_ema(m, g), m), state.grad_ma, grads)
+        neg_grad_ma = jax.tree.map(
+            lambda m, g: jnp.where(odd, m, upd_ema(m, g)),
+            state.neg_grad_ma, grads)
+
+        def leaf(p, v, m_pos, m_neg):
+            active = jnp.where(odd, m_pos, m_neg)
+            other = jnp.where(odd, m_neg, m_pos)
+            denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
+            denom = jax.nn.softplus(denom * softplus_beta) / softplus_beta
+            pnm = ((1.0 + pnm_factor) * active - pnm_factor * other) / noise_norm
+            new_p = p
+            if weight_decay > 0:
+                # clamp: decay may at most zero a weight (guards the
+                # divide-by-variance blow-up on degenerate first steps)
+                factor = jnp.clip(1.0 - weight_decay * lr
+                                  / variance_normalized, 0.0, 1.0)
+                new_p = new_p * factor
+            if normloss_factor > 0:
+                un = _unit_norm(p)
+                correction = 2.0 * normloss_factor * (1.0 - 1.0 / (un + eps))
+                new_p = new_p * jnp.clip(1.0 - lr * correction, 0.0, 2.0)
+            new_p = new_p - (lr / bc1) * pnm / denom
+            return new_p
+
+        new_p = jax.tree.map(leaf, params, variance_ma, grad_ma, neg_grad_ma)
+
+        # lookahead (:608-645)
+        sync = (count % lookahead_k) == 0
+
+        def look(p_new, p_old, s):
+            s_new = jnp.where(sync, s + lookahead_alpha * (p_new - s), s)
+            p_fin = jnp.where(sync, s_new, p_new)
+            return p_fin - p_old, s_new
+
+        moved = jax.tree.map(look, new_p, params, state.slow)
+        delta = jax.tree.map(lambda x: x[0], moved,
+                             is_leaf=lambda x: isinstance(x, tuple))
+        slow = jax.tree.map(lambda x: x[1], moved,
+                            is_leaf=lambda x: isinstance(x, tuple))
+        return delta, Ranger21State(count, grad_ma, neg_grad_ma,
+                                    variance_ma, slow)
 
     return optax.GradientTransformation(init_fn, update_fn)

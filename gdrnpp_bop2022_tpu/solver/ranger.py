@@ -137,6 +137,9 @@ def build_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
         tx = ranger(lr_schedule, weight_decay=sc.weight_decay)
     elif name in ("rangeradabelief", "ranger_adabelief"):
         tx = ranger(lr_schedule, weight_decay=sc.weight_decay, belief=True)
+    elif name == "ranger21":
+        from .optimizers import ranger21
+        tx = ranger21(lr_schedule, weight_decay=sc.weight_decay)
     elif name == "adamp":
         from .optimizers import adamp
         tx = adamp(lr_schedule, weight_decay=sc.weight_decay)

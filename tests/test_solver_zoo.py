@@ -126,3 +126,44 @@ def test_build_optimizer_registry(name):
     s = tx.init(params)
     u, _ = tx.update({"w": jnp.ones((3, 3))}, s, params)
     assert np.all(np.isfinite(np.asarray(u["w"])))
+
+
+def test_ranger21_descends_and_controls_norms():
+    from gdrnpp_bop2022_tpu.solver.optimizers import ranger21
+    tx = ranger21(5e-2)
+    params = {"a": jnp.zeros((5,)), "b": 0.5 * jnp.eye(3) + 0.1}
+    state = tx.init(params)
+    loss0 = float(_rosenbrockish(params))
+
+    @jax.jit
+    def step(params, state):
+        g = jax.grad(_rosenbrockish)(params)
+        upd, state = tx.update(g, state, params)
+        return optax.apply_updates(params, upd), state
+
+    for _ in range(300):
+        params, state = step(params, state)
+    assert float(_rosenbrockish(params)) < 0.1 * loss0
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree.leaves(params))
+
+
+def test_ranger21_agc_clips_extreme_gradients():
+    from gdrnpp_bop2022_tpu.solver.optimizers import ranger21
+    tx = ranger21(1e-2, lookahead_k=10**9)
+    p = {"w": jnp.full((4, 4), 0.01)}
+    s = tx.init(p)
+    huge = {"w": jnp.full((4, 4), 1e6)}
+    u, _ = tx.update(huge, s, p)
+    # AGC caps the unit-wise grad at 1e-2 * ||p||; after normalization the
+    # first-step update magnitude stays bounded (no 1e6-scale step)
+    assert float(jnp.max(jnp.abs(u["w"]))) < 1.0
+
+
+def test_ranger21_registry():
+    cfg = replace_cfg(Config(), {"solver.optimizer": "Ranger21"})
+    tx = build_optimizer(cfg, lambda i: 1e-3)
+    params = {"w": jnp.ones((3, 3))}
+    s = tx.init(params)
+    u, _ = tx.update({"w": jnp.ones((3, 3)) * 0.1}, s, params)
+    assert np.all(np.isfinite(np.asarray(u["w"])))
