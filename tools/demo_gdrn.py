@@ -64,7 +64,8 @@ def build_detector(meta, size, input_size, ckpt_dir, conf_thr, nms_thr):
                                    .astype(jnp.float32)))
         keep = det["valid"][0] & (det["scores"][0] > conf_thr)
         return (det["boxes_xyxy"][0][keep] / r,
-                det["labels"][0][keep].astype(int))
+                det["labels"][0][keep].astype(int),
+                det["scores"][0][keep])
 
     return detect
 
@@ -168,7 +169,7 @@ def main():
             boxes = np.array(boxes, np.float32)
             labels = np.array(labels, np.int32)
         else:
-            boxes, labels = detect(img)
+            boxes, labels, _ = detect(img)
             if len(boxes) == 0:
                 print(f"{name}: nothing detected")
                 continue
