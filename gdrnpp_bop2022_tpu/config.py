@@ -31,6 +31,10 @@ class BackboneConfig:
     in_channels: int = 3              # 6 for RGB-D concat variants
     gelu_exact: bool = False          # erf GELU (torch parity); tanh approx
                                       # is 1.9x faster on TPU, default
+    dw_mode: str = "auto"             # depthwise-conv lowering (convnext):
+                                      # auto = MXU scatter-matmul when
+                                      # H*W <= 256 (4.25x measured), conv =
+                                      # always XLA VPU conv, mxu = force
 
 
 @dataclass(frozen=True)

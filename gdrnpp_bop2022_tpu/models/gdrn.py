@@ -72,6 +72,7 @@ def _build_backbone(cfg: PoseNetConfig, dtype, out_indices=None):
     kw = {}
     if "convnext" in name:
         kw["gelu_exact"] = cfg.backbone.gelu_exact
+        kw["dw_mode"] = cfg.backbone.dw_mode
     if out_indices is None:
         out_indices = (cfg.backbone.out_index,)
     return builders[name](out_indices=out_indices, dtype=dtype, **kw)

@@ -29,6 +29,8 @@ def get_act(name: str) -> Callable:
         "silu": nn.silu,
         "swish": nn.silu,
         "mish": lambda x: x * jnp.tanh(nn.softplus(x)),
+        "hswish": lambda x: x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0,
+        "hsigmoid": lambda x: jnp.clip(x + 3.0, 0.0, 6.0) / 6.0,
         "identity": lambda x: x,
         "none": lambda x: x,
     }
@@ -173,3 +175,117 @@ class AconC(nn.Module):
         dpx = ((p1 - p2).astype(x.dtype)) * x
         return dpx * jax.nn.sigmoid(beta.astype(x.dtype) * dpx) \
             + p2.astype(x.dtype) * x
+
+
+# ---------------------------------------------------------------------------
+# Coordinate attention + weight-standardized / weight-centralized convs
+# (reference: lib/torch_utils/layers/coord_attention.py,
+#  std_conv_transpose.py, mean_conv_deconv.py)
+# ---------------------------------------------------------------------------
+
+
+def hsigmoid(x: jax.Array) -> jax.Array:
+    """relu6(x + 3) / 6 (reference coord_attention.py:12-18)."""
+    return jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+def hswish(x: jax.Array) -> jax.Array:
+    return x * hsigmoid(x)
+
+
+class CoordAtt(nn.Module):
+    """Coordinate Attention (CVPR'21; reference coord_attention.py:30-67).
+
+    Pools along each spatial axis separately, mixes through a small 1x1
+    bottleneck, and gates the input with per-(row, channel) and
+    per-(column, channel) sigmoid maps. NHWC; GroupNorm replaces the
+    reference's BatchNorm per the repo's no-batch-stats stance.
+    """
+    features: int
+    reduction: int = 32
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        mip = max(8, C // self.reduction)
+        x_h = jnp.mean(x, axis=2, keepdims=True)            # (B, H, 1, C)
+        x_w = jnp.mean(x, axis=1, keepdims=True)            # (B, 1, W, C)
+        y = jnp.concatenate([x_h, jnp.swapaxes(x_w, 1, 2)], axis=1)
+        y = nn.Conv(mip, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv1")(y)
+        y = GroupNorm32(num_groups=min(8, mip), name="norm1")(y)
+        y = hswish(y)
+        y_h, y_w = y[:, :H], jnp.swapaxes(y[:, H:], 1, 2)
+        a_h = nn.sigmoid(nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="conv_h")(y_h))
+        a_w = nn.sigmoid(nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="conv_w")(y_w))
+        return x * a_h * a_w
+
+
+def _standardize_kernel(w: jax.Array, eps: float) -> jax.Array:
+    """Weight standardization over all axes but the output-feature (last)
+    axis (reference std_conv_transpose.py:52-80; arXiv:1903.10520)."""
+    axes = tuple(range(w.ndim - 1))
+    mu = jnp.mean(w, axis=axes, keepdims=True)
+    var = jnp.var(w, axis=axes, keepdims=True)
+    return (w - mu) * jax.lax.rsqrt(var + eps)
+
+
+def _centralize_kernel(w: jax.Array) -> jax.Array:
+    """Weight centralization: subtract the per-output-filter mean
+    (reference mean_conv_deconv.py:15-18)."""
+    axes = tuple(range(w.ndim - 1))
+    return w - jnp.mean(w, axis=axes, keepdims=True)
+
+
+class _WeightMappedConv(nn.Module):
+    """Conv/ConvTranspose whose kernel is transformed before application —
+    the mechanism behind StdConv / MeanConv variants."""
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    transpose: bool = False
+    mapping: str = "std"     # std | mean
+    eps: float = 1e-6
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        cls = nn.ConvTranspose if self.transpose else nn.Conv
+        # run the conv with a kernel-transformed view via map_variables:
+        # params stay the raw kernel (checkpoint-compatible), the transform
+        # applies on every forward (as in the reference's F.conv2d(w - mu))
+        Mapped = nn.map_variables(
+            cls, "params",
+            trans_in_fn=lambda vs: jax.tree_util.tree_map_with_path(
+                lambda path, v: (
+                    (_standardize_kernel(v, self.eps) if self.mapping == "std"
+                     else _centralize_kernel(v))
+                    if path[-1].key == "kernel" else v), vs),
+            init=True)
+        return Mapped(self.features, self.kernel_size, strides=self.strides,
+                      padding=self.padding, use_bias=self.use_bias,
+                      dtype=self.dtype, param_dtype=jnp.float32,
+                      name="conv")(x)
+
+
+def StdConv(features, kernel_size=(3, 3), **kw):
+    return _WeightMappedConv(features, kernel_size, mapping="std", **kw)
+
+
+def StdConvTranspose(features, kernel_size=(3, 3), **kw):
+    return _WeightMappedConv(features, kernel_size, mapping="std",
+                             transpose=True, **kw)
+
+
+def MeanConv(features, kernel_size=(3, 3), **kw):
+    return _WeightMappedConv(features, kernel_size, mapping="mean", **kw)
+
+
+def MeanConvTranspose(features, kernel_size=(3, 3), **kw):
+    return _WeightMappedConv(features, kernel_size, mapping="mean",
+                             transpose=True, **kw)

@@ -178,3 +178,52 @@ def replace_background(key: jax.Array, images: jax.Array, fg_masks: jax.Array,
     fg = fg_masks[..., None].astype(images.dtype)
     swapped = images * fg + bgs * (1.0 - fg)
     return images * (1 - use) + swapped * use
+
+
+def ssd_color_aug(key: jax.Array, images: jax.Array,
+                  brightness_delta: float = 32.0,
+                  contrast_range=(0.5, 1.5),
+                  saturation_range=(0.5, 1.5),
+                  hue_delta: float = 18.0) -> jax.Array:
+    """SSD photometric distortion on a batch of RGB uint8/float images
+    (reference: core/utils/ssd_color_transform.py:63-99 — random
+    brightness shift, contrast scale, HSV saturation scale, HSV hue roll,
+    each gated per sample at p=0.5).
+
+    The reference's cv2 uint8-HSV (hue in [0, 180)) becomes the float HSV
+    of ops.color_space (hue in [0, 2pi)): hue_delta degrees-of-180 map to
+    radians as delta/180 * 2pi. Batched, jittable, zero host cost.
+    """
+    from .color_space import hsv_to_rgb, rgb_to_hsv
+
+    b = images.shape[0]
+    x = images.astype(jnp.float32)
+    keys = jax.random.split(key, 8)
+
+    # brightness: x + U(-d, d)
+    beta = jax.random.uniform(keys[0], (b, 1, 1, 1),
+                              minval=-brightness_delta,
+                              maxval=brightness_delta)
+    x = jnp.clip(x + beta * _gate(keys[1], 0.5, b), 0, 255)
+
+    # contrast: x * U(lo, hi)
+    alpha = jax.random.uniform(keys[2], (b, 1, 1, 1),
+                               minval=contrast_range[0],
+                               maxval=contrast_range[1])
+    g = _gate(keys[3], 0.5, b)
+    x = jnp.clip(x * (alpha * g + (1.0 - g)), 0, 255)
+
+    # saturation + hue in HSV space
+    hsv = rgb_to_hsv(x / 255.0)
+    s_alpha = jax.random.uniform(keys[4], (b, 1, 1, 1),
+                                 minval=saturation_range[0],
+                                 maxval=saturation_range[1])[..., 0]
+    gs = _gate(keys[5], 0.5, b)[..., 0]
+    sat = jnp.clip(hsv[..., 1] * (s_alpha * gs + (1.0 - gs)), 0.0, 1.0)
+    h_shift = jax.random.uniform(keys[6], (b, 1, 1),
+                                 minval=-hue_delta, maxval=hue_delta)
+    gh = _gate(keys[7], 0.5, b)[..., 0]
+    two_pi = 2.0 * jnp.pi
+    hue = (hsv[..., 0] + h_shift * gh / 180.0 * two_pi) % two_pi
+    x = hsv_to_rgb(jnp.stack([hue, sat, hsv[..., 2]], axis=-1)) * 255.0
+    return jnp.clip(x, 0, 255).astype(images.dtype)

@@ -92,3 +92,26 @@ def test_rgba_alpha_composite():
 def test_bgr_flip():
     np.testing.assert_array_equal(
         np.asarray(cs.rgb_to_bgr(jnp.asarray(PIX))), PIX[..., ::-1])
+
+
+def test_ssd_color_aug():
+    import jax
+    from gdrnpp_bop2022_tpu.ops.color_aug import ssd_color_aug
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.randint(30, 220, (8, 16, 16, 3)), jnp.uint8)
+    out = np.asarray(ssd_color_aug(jax.random.PRNGKey(0), imgs))
+    assert out.shape == imgs.shape and out.dtype == np.uint8
+    # changes something but stays in range
+    assert not np.array_equal(out, np.asarray(imgs))
+    assert out.min() >= 0 and out.max() <= 255
+    # with a different key, different result (stochastic)
+    out2 = np.asarray(ssd_color_aug(jax.random.PRNGKey(1), imgs))
+    assert not np.array_equal(out, out2)
+    # hue roll preserves value channel exactly when only hue fires:
+    # grayscale pixels are hue/saturation-invariant -> gray image passes
+    # through saturation/hue untouched (up to fp)
+    gray = jnp.full((4, 8, 8, 3), 128, jnp.uint8)
+    outg = np.asarray(ssd_color_aug(jax.random.PRNGKey(2), gray,
+                                    brightness_delta=0.0,
+                                    contrast_range=(1.0, 1.0)))
+    np.testing.assert_allclose(outg.astype(np.float32), 128.0, atol=1.5)
