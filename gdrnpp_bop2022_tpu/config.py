@@ -161,6 +161,9 @@ class ColorAugConfig:
     eval'd imgaug code strings, base_data_loader.py:273-284). Each op:
     (name, probability, params)."""
     prob: float = 0.8
+    # preset pipeline (reference aug_type switch): cosy+aae (BOP22 default)
+    # | aae | roi10d | ssd
+    aug_type: str = "cosy+aae"
     ops: Tuple[Tuple[str, float, Tuple[float, ...]], ...] = (
         ("coarse_dropout", 0.5, (0.2, 0.05)),       # p, size_percent
         ("gaussian_blur", 0.4, (0.0, 3.0)),

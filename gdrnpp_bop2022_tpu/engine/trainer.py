@@ -141,7 +141,7 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
                  if pc.loss.xyz_loss_type == "CE_coor" else 0))
 
     def prep(host_batch, key):
-        from ..ops.color_aug import cosy_aae_color_aug, replace_background
+        from ..ops.color_aug import color_aug_by_type, replace_background
         images = jnp.asarray(host_batch["images"])
         k_bg, k_color, k_depth = jax.random.split(key, 3)
         if cfg.input.change_bg_prob > 0 and "bg_images" in host_batch:
@@ -153,8 +153,21 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
                 jnp.asarray(host_batch["bg_images"]),
                 prob=cfg.input.change_bg_prob)
         if cfg.input.color_aug.prob > 0:
-            images = cosy_aae_color_aug(k_color, images,
-                                        global_prob=cfg.input.color_aug.prob)
+            aug_fn = color_aug_by_type(cfg.input.color_aug.aug_type)
+            if cfg.input.color_aug.aug_type in ("cosy+aae", "cosy_aae"):
+                images = aug_fn(k_color, images,
+                                global_prob=cfg.input.color_aug.prob)
+            else:
+                # other presets carry their own per-op gates; apply the
+                # global prob as a per-sample blend (reference applies
+                # COLOR_AUG_PROB the same way, data_loader.py:381-390)
+                k_g, k_a = jax.random.split(k_color)
+                gate = jax.random.bernoulli(
+                    k_g, cfg.input.color_aug.prob,
+                    (images.shape[0], 1, 1, 1)).astype(jnp.float32)
+                auged = aug_fn(k_a, images)
+                images = (images.astype(jnp.float32) * (1 - gate)
+                          + auged.astype(jnp.float32) * gate)
         batch = build_train_batch_online(
             images, jnp.asarray(host_batch["img_idx"]),
             jnp.asarray(host_batch["centers"]), jnp.asarray(host_batch["scales"]),

@@ -227,3 +227,103 @@ def ssd_color_aug(key: jax.Array, images: jax.Array,
     hue = (hsv[..., 0] + h_shift * gh / 180.0 * two_pi) % two_pi
     x = hsv_to_rgb(jnp.stack([hue, sat, hsv[..., 2]], axis=-1)) * 255.0
     return jnp.clip(x, 0, 255).astype(images.dtype)
+
+
+def aae_color_aug(key: jax.Array, images: jax.Array) -> jax.Array:
+    """The AAE augmentation pipeline (reference base_data_loader.py:252-261
+    aug_code): CoarseDropout, GaussianBlur, Add, Invert, 2x Multiply,
+    LinearContrast — the subset of the cosy+aae op list with the AAE
+    gates/ranges. Batch of RGB in [0, 255] -> float32 in [0, 255]."""
+    x = images.astype(jnp.float32)
+    B = x.shape[0]
+    keys = jax.random.split(key, 20)
+    ki = iter(range(20))
+
+    def nk():
+        return keys[next(ki)]
+
+    # CoarseDropout(p=0.2, size_percent=0.05) @ 0.5
+    g = _gate(nk(), 0.5, B)
+    x = _blend(x, _coarse_dropout(nk(), x, 0.2, 0.05), g)
+    # GaussianBlur(1.2*rand) @ 0.5
+    g = _gate(nk(), 0.5, B)
+    strength = jax.random.uniform(nk(), (B, 1, 1, 1), maxval=1.2) / 1.2
+    x = _blend(x, x * (1 - strength) + _blur3(x) * strength, g)
+    # Add((-25, 25), per_channel=0.3) @ 0.5
+    g = _gate(nk(), 0.5, B)
+    add = _uniform(nk(), B, -25.0, 25.0, per_channel_key=nk(), per_channel_p=0.3)
+    x = _blend(x, x + add, g)
+    # Invert(0.2, per_channel=True) @ 0.3
+    g = _gate(nk(), 0.3, B)
+    inv_c = jax.random.bernoulli(nk(), 0.2, (B, 1, 1, 3)).astype(jnp.float32)
+    x = _blend(x, x * (1 - inv_c) + (255.0 - x) * inv_c, g)
+    # Multiply((0.6, 1.4), per_channel=0.5) @ 0.5
+    g = _gate(nk(), 0.5, B)
+    m = _uniform(nk(), B, 0.6, 1.4, per_channel_key=nk(), per_channel_p=0.5)
+    x = _blend(x, x * m, g)
+    # Multiply((0.6, 1.4)) @ 0.5
+    g = _gate(nk(), 0.5, B)
+    m = _uniform(nk(), B, 0.6, 1.4)
+    x = _blend(x, x * m, g)
+    # LinearContrast((0.5, 2.2), per_channel=0.3) @ 0.5
+    g = _gate(nk(), 0.5, B)
+    f = _uniform(nk(), B, 0.5, 2.2, per_channel_key=nk(), per_channel_p=0.3)
+    x = _blend(x, 127.5 + f * (x - 127.5), g)
+    return jnp.clip(x, 0.0, 255.0)
+
+
+def roi10d_color_aug(key: jax.Array, images: jax.Array,
+                     brightness_delta: float = 2.5 / 255.0,
+                     lighting_std: float = 0.3,
+                     saturation_var=(0.95, 1.05),
+                     contrast_var=(0.95, 1.05)) -> jax.Array:
+    """ROI10D's AugmentRGB (reference base_data_loader.py:235-240 + the
+    SSD-keras AugmentRGB it wraps): brightness shift, PCA lighting noise
+    (per-image RGB covariance eigenbasis), saturation and contrast scales —
+    each always applied, magnitudes as configured. Operates in [0, 1]
+    internally like the reference (:325-329)."""
+    x = images.astype(jnp.float32) / 255.0
+    B = x.shape[0]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    # brightness
+    x = x + jax.random.uniform(k1, (B, 1, 1, 1), minval=-brightness_delta,
+                               maxval=brightness_delta)
+    # PCA lighting: per-image covariance of pixels, noise along eigenbasis
+    flat = x.reshape(B, -1, 3)
+    mu = jnp.mean(flat, axis=1, keepdims=True)
+    cen = flat - mu
+    cov = jnp.einsum("bnc,bnd->bcd", cen, cen) / flat.shape[1]
+    eigval, eigvec = jnp.linalg.eigh(cov)          # (B,3), (B,3,3)
+    noise = jax.random.normal(k2, (B, 3)) * lighting_std
+    delta = jnp.einsum("bcd,bd->bc", eigvec,
+                       eigval * noise)             # (B, 3)
+    x = x + delta[:, None, None, :]
+    # saturation: interpolate vs grayscale
+    gs = _grayscale(x)
+    sat = jax.random.uniform(k3, (B, 1, 1, 1), minval=saturation_var[0],
+                             maxval=saturation_var[1])
+    x = gs + sat * (x - gs)
+    # contrast: interpolate vs per-image mean gray
+    mean = jnp.mean(gs, axis=(1, 2, 3), keepdims=True)
+    con = jax.random.uniform(k4, (B, 1, 1, 1), minval=contrast_var[0],
+                             maxval=contrast_var[1])
+    x = mean + con * (x - mean)
+    return jnp.clip(x, 0.0, 1.0) * 255.0
+
+
+def color_aug_by_type(aug_type: str):
+    """Preset registry (reference _get_color_augmentor aug_type switch,
+    base_data_loader.py:233-321): returns f(key, images) -> images."""
+    presets = {
+        "cosy+aae": cosy_aae_color_aug,
+        "cosy_aae": cosy_aae_color_aug,
+        "aae": aae_color_aug,
+        "roi10d": roi10d_color_aug,
+        "ssd": ssd_color_aug,
+    }
+    t = aug_type.lower()
+    if t not in presets:
+        raise ValueError(f"unknown color aug type {aug_type!r}; "
+                         f"expected one of {sorted(presets)}")
+    return presets[t]

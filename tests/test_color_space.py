@@ -115,3 +115,19 @@ def test_ssd_color_aug():
                                     brightness_delta=0.0,
                                     contrast_range=(1.0, 1.0)))
     np.testing.assert_allclose(outg.astype(np.float32), 128.0, atol=1.5)
+
+
+def test_color_aug_presets():
+    import jax
+    from gdrnpp_bop2022_tpu.ops.color_aug import color_aug_by_type
+    rng = np.random.RandomState(5)
+    imgs = jnp.asarray(rng.randint(0, 255, (4, 16, 16, 3)), jnp.uint8)
+    for name in ("cosy+aae", "aae", "roi10d", "ssd"):
+        fn = color_aug_by_type(name)
+        out = np.asarray(fn(jax.random.PRNGKey(0), imgs))
+        assert out.shape == imgs.shape, name
+        assert np.isfinite(out).all(), name
+        assert out.min() >= 0 and out.max() <= 255, name
+        assert not np.array_equal(out.astype(np.uint8), np.asarray(imgs)), name
+    with pytest.raises(ValueError):
+        color_aug_by_type("nope")
