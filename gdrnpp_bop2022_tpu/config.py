@@ -41,6 +41,8 @@ class BackboneConfig:
 class GeoHeadConfig:
     """Top-down geometric decoder (reference: top_down_doublemask_xyz_region_head.py)."""
     name: str = "top_down_doublemask_xyz_region"
+    lr_mult: float = 1.0              # per-module LR (reference LR_MULT,
+                                      # model_utils.py:166)
     up_types: Tuple[str, ...] = ("deconv", "bilinear", "bilinear")
     deconv_kernel_size: int = 3
     num_conv_per_block: int = 2
@@ -62,6 +64,8 @@ class GeoHeadConfig:
 class PnPNetConfig:
     """Patch-PnP head (reference: conv_pnp_net.py)."""
     name: str = "conv_pnp_net"
+    lr_mult: float = 1.0              # per-module LR (reference LR_MULT,
+                                      # model_utils.py:271)
     featdim: int = 128
     num_stride2_layers: int = 3
     num_extra_layers: int = 0

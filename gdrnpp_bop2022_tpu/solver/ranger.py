@@ -171,6 +171,18 @@ def build_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
     else:
         raise ValueError(f"unknown optimizer {sc.optimizer}")
 
+    # per-module LR multipliers (reference LR_MULT param groups,
+    # core/gdrn_modeling/models/model_utils.py:108-341): applied as a
+    # final update scaler keyed on the top-level param subtree, which
+    # equals per-group lr for any optimizer whose step is linear in lr.
+    lr_mults = {}
+    pn = getattr(getattr(getattr(cfg, "model", None), "pose_net", None),
+                 "geo_head", None)
+    if pn is not None and cfg.model.pose_net.geo_head.lr_mult != 1.0:
+        lr_mults["geo_head"] = cfg.model.pose_net.geo_head.lr_mult
+    if pn is not None and cfg.model.pose_net.pnp_net.lr_mult != 1.0:
+        lr_mults["pnp_net"] = cfg.model.pose_net.pnp_net.lr_mult
+
     chain = []
     if sc.nan_grad_to_zero:
         # reference: engine.py:330-333 SET_NAN_GRAD_TO_ZERO
@@ -182,7 +194,29 @@ def build_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
     if sc.clip_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(sc.clip_grad_norm))
     chain.append(tx)
+    if lr_mults:
+        chain.append(scale_updates_by_module(lr_mults))
     out = optax.chain(*chain) if len(chain) > 1 else tx
     if sc.grad_accum_steps > 1:
         out = optax.MultiSteps(out, every_k_schedule=sc.grad_accum_steps)
     return out
+
+
+def scale_updates_by_module(lr_mults: dict) -> optax.GradientTransformation:
+    """Scale final updates per top-level param subtree ("geo_head",
+    "pnp_net", ...) — the TPU equivalent of the reference's per-module
+    param groups with lr = BASE_LR * LR_MULT. Scaling the post-optimizer
+    update (not the gradient) is required because adaptive optimizers are
+    invariant to gradient scale."""
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def scale(path, u):
+            key = getattr(path[0], "key", None) if path else None
+            return u * lr_mults.get(key, 1.0)
+
+        return (jax.tree_util.tree_map_with_path(scale, updates), state)
+
+    return optax.GradientTransformation(lambda p: optax.EmptyState(),
+                                        update_fn)

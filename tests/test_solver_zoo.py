@@ -167,3 +167,25 @@ def test_ranger21_registry():
     s = tx.init(params)
     u, _ = tx.update({"w": jnp.ones((3, 3)) * 0.1}, s, params)
     assert np.all(np.isfinite(np.asarray(u["w"])))
+
+
+def test_per_module_lr_multipliers():
+    # reference LR_MULT param groups (model_utils.py:108-341): geo_head
+    # frozen (0.0), pnp_net doubled (2.0), backbone unscaled
+    cfg = replace_cfg(Config(), {
+        "solver.optimizer": "sgd",
+        "solver.momentum": 0.0,
+        "model.pose_net.geo_head.lr_mult": 0.0,
+        "model.pose_net.pnp_net.lr_mult": 2.0,
+    })
+    tx = build_optimizer(cfg, 1e-2)
+    params = {"backbone": {"w": jnp.ones((3,))},
+              "geo_head": {"w": jnp.ones((3,))},
+              "pnp_net": {"w": jnp.ones((3,))}}
+    grads = jax.tree.map(jnp.ones_like, params)
+    s = tx.init(params)
+    u, _ = tx.update(grads, s, params)
+    bb = float(u["backbone"]["w"][0])
+    assert bb == pytest.approx(-1e-2, rel=1e-5)
+    assert float(u["geo_head"]["w"][0]) == 0.0
+    assert float(u["pnp_net"]["w"][0]) == pytest.approx(2 * bb, rel=1e-5)
