@@ -262,6 +262,8 @@ class ValConfig:
     pnp_type: str = "ransac_pnp"      # ransac_pnp | net_iter_pnp | uncertainty_pnp
     eval_precision: bool = False
     save_results_only: bool = False
+    vsd_mode: str = "auto"            # auto | window | full (eval/vsd.py:
+                                      # full = strict toolkit equivalence)
 
 
 @dataclass(frozen=True)

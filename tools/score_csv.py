@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--root", default="datasets/BOP_DATASETS")
     ap.add_argument("--split", default="test")
     ap.add_argument("--no-vsd", action="store_true")
+    ap.add_argument("--vsd-mode", default="auto",
+                    choices=["auto", "window", "full"],
+                    help="full = strict BOP-toolkit-equivalent rendering")
     args = ap.parse_args()
 
     import numpy as np
@@ -72,7 +75,8 @@ def main():
 
     scores = score_bop_results(results, gt_rows, bank, targets=targets,
                                im_width=meta.width,
-                               depth_test_getter=depth_getter)
+                               depth_test_getter=depth_getter,
+                               vsd_mode=args.vsd_mode)
     print(json.dumps(scores, indent=2))
 
 

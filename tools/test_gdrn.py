@@ -163,7 +163,7 @@ def run_eval(cfg, meta, bank, ckpt_dir=None):
 
         scores = score_bop_results(
             results, gt_rows, bank, targets=targets, im_width=meta.width,
-            depth_test_getter=depth_getter)
+            depth_test_getter=depth_getter, vsd_mode=cfg.val.vsd_mode)
         save_json(os.path.join(out_dir, "scores.json"), scores)
         print(json.dumps(scores, indent=2))
     return results
