@@ -33,7 +33,10 @@ def main():
 
     cfg = Config()
     pc = cfg.model.pose_net
-    batch_size = 256   # serving batch: amortizes per-layer overheads (+18% vs 64)
+    batch_size = 512   # serving batch; with the MXU dwconv lowering the
+                       # sweep is 256 -> 1889, 384 -> 1883, 512 -> 1968
+                       # ROI/s (bigger batch amortizes the scatter-matrix
+                       # build and improves matmul shapes)
     model = build_gdrn(cfg)
     batch = fake_gdrn_batch(batch_size, pc.input_res, pc.output_res,
                             pc.num_classes, pc.geo_head.num_regions,

@@ -31,6 +31,10 @@ class CheckpointManager:
             "opt_state": jax.device_get(state.opt_state),
             "ema_params": jax.device_get(state.ema_params),
         }
+        # BatchNorm running stats (norm="BN" models) must survive
+        # resume/release — they are state, not derivable from params
+        if getattr(state, "batch_stats", None) is not None:
+            payload["batch_stats"] = jax.device_get(state.batch_stats)
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
 
@@ -44,11 +48,28 @@ class CheckpointManager:
             "opt_state": jax.device_get(template_state.opt_state),
             "ema_params": jax.device_get(template_state.ema_params),
         }
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(template))
-        return template_state.replace(
+        has_bs = getattr(template_state, "batch_stats", None) is not None
+        if has_bs:
+            template["batch_stats"] = jax.device_get(
+                template_state.batch_stats)
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        except Exception:
+            if not has_bs:
+                raise
+            # pre-batch_stats checkpoint: restore without them and keep
+            # the template's (fresh) stats
+            template.pop("batch_stats")
+            has_bs = False
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        out = template_state.replace(
             step=restored["step"], params=restored["params"],
             opt_state=restored["opt_state"], ema_params=restored["ema_params"])
+        if has_bs and "batch_stats" in restored:
+            out = out.replace(batch_stats=restored["batch_stats"])
+        return out
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -237,12 +237,15 @@ def train_yolox(records, num_classes: int, output_dir: str,
                 and ((it + 1) % eval_period == 0 or (it + 1) == total_iters)):
             if with_bs and precise_bn_iters > 0:
                 # recompute BN stats over clean train batches before eval
-                # (reference PreciseBN hook, yolox_trainer.py:242-250)
+                # (reference PreciseBN hook, yolox_trainer.py:242-250) —
+                # with the EMA params, because that is the model the eval
+                # (and the released checkpoint) actually runs
                 def _bn_batches():
                     for _ in range(precise_bn_iters):
                         yield next(iter(loader))["images"].astype(np.float32)
                 state = state.replace(batch_stats=precise_bn_stats(
-                    model, state.params, state.batch_stats, _bn_batches()))
+                    model, state.ema_params, state.batch_stats,
+                    _bn_batches()))
             # eval with EMA weights (reference evaluates the EMA model)
             import inspect
             if (with_bs and "batch_stats"

@@ -210,14 +210,18 @@ def rot_to_lie_vec(rot: jax.Array) -> jax.Array:
 
 def quat_to_lie_vec(q: jax.Array, eps: float = 1e-8) -> jax.Array:
     """Unit quaternion (w,x,y,z) -> axis-angle vector
-    (reference quaternion_to_lie_vec, lie_algebra.py:102-144)."""
+    (reference quaternion_to_lie_vec, lie_algebra.py:102-144). Grad-safe
+    at the identity: the imaginary-part norm's sqrt is where-guarded
+    BEFORE differentiation (norm at 0 has a 0/0 gradient otherwise)."""
     q = q * jnp.sign(jnp.where(q[..., 0:1] == 0, 1.0, q[..., 0:1]))
-    sin_half = jnp.linalg.norm(q[..., 1:], axis=-1)
+    s2 = jnp.sum(q[..., 1:] * q[..., 1:], axis=-1)
+    small = s2 < eps * eps
+    sin_half = jnp.sqrt(jnp.where(small, 1.0, s2))
     cos_half = q[..., 0]
-    half = jnp.arctan2(sin_half, cos_half)
+    half = jnp.where(small, 0.0, jnp.arctan2(sin_half, cos_half))
     # 2*half / sin(half), with the limit 2/(1 - t^2/6) ~ 2 at half -> 0
-    k = jnp.where(sin_half < eps, 2.0 + (2.0 / 6.0) * half * half,
-                  2.0 * half / jnp.maximum(sin_half, eps))
+    k = jnp.where(small, 2.0 + (2.0 / 6.0) * half * half,
+                  2.0 * half / sin_half)
     return q[..., 1:] * k[..., None]
 
 

@@ -29,10 +29,16 @@ class LayerNormFp32(nn.Module):
         return out.astype(orig)
 
 
-def _dw_scatter_basis(H: int, W: int, ksize: int = 7) -> jnp.ndarray:
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _dw_scatter_basis_np(H: int, W: int, ksize: int = 7):
     """Constant S[k, p, q] in {0,1}: tap k of a ksize x ksize SAME-padded
     depthwise conv maps input position q to output position p (boundary
-    taps are all-zero rows). Built once per (H, W) at trace time."""
+    taps are all-zero rows). Cached per (H, W, ksize) as NUMPY — caching a
+    jnp array would capture a tracer when first built under jit and leak
+    it into later traces; 27 stage-2 blocks share one basis either way."""
     import numpy as np
     r = ksize // 2
     P = H * W
@@ -45,7 +51,11 @@ def _dw_scatter_basis(H: int, W: int, ksize: int = 7) -> jnp.ndarray:
                     yy, xx = y + dy - r, x + dx - r
                     if 0 <= yy < H and 0 <= xx < W:
                         S[dy * ksize + dx, p, yy * W + xx] = 1.0
-    return jnp.asarray(S, jnp.bfloat16)
+    return S
+
+
+def _dw_scatter_basis(H: int, W: int, ksize: int = 7) -> jnp.ndarray:
+    return jnp.asarray(_dw_scatter_basis_np(H, W, ksize), jnp.bfloat16)
 
 
 def _dwconv_mxu(x: jax.Array, kernel: jax.Array, bias: jax.Array) -> jax.Array:

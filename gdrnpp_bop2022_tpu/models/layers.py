@@ -207,6 +207,7 @@ class CoordAtt(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import math
         B, H, W, C = x.shape
         mip = max(8, C // self.reduction)
         x_h = jnp.mean(x, axis=2, keepdims=True)            # (B, H, 1, C)
@@ -214,7 +215,8 @@ class CoordAtt(nn.Module):
         y = jnp.concatenate([x_h, jnp.swapaxes(x_w, 1, 2)], axis=1)
         y = nn.Conv(mip, (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(y)
-        y = GroupNorm32(num_groups=min(8, mip), name="norm1")(y)
+        # group count must divide mip (e.g. mip=12 at C=384): use gcd(8, .)
+        y = GroupNorm32(num_groups=math.gcd(8, mip), name="norm1")(y)
         y = hswish(y)
         y_h, y_w = y[:, :H], jnp.swapaxes(y[:, H:], 1, 2)
         a_h = nn.sigmoid(nn.Conv(self.features, (1, 1), dtype=self.dtype,

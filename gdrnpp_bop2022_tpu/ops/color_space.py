@@ -138,12 +138,16 @@ _D65 = (0.95047, 1.0, 1.08883)  # reference lab.py:54 (skimage convention)
 
 
 def rgb_to_xyz(image: jax.Array) -> jax.Array:
-    """Linear transform, no gamma (reference xyz.py:5-34)."""
-    return jnp.einsum("...c,kc->...k", image, _RGB2XYZ.astype(image.dtype))
+    """Linear transform, no gamma (reference xyz.py:5-34). HIGHEST
+    precision: the default einsum lowers to a bf16 MXU matmul on TPU,
+    which costs ~11/255 of RGB accuracy through the Lab/Luv round trip."""
+    return jnp.einsum("...c,kc->...k", image, _RGB2XYZ.astype(image.dtype),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def xyz_to_rgb(image: jax.Array) -> jax.Array:
-    return jnp.einsum("...c,kc->...k", image, _XYZ2RGB.astype(image.dtype))
+    return jnp.einsum("...c,kc->...k", image, _XYZ2RGB.astype(image.dtype),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _lab_f(t: jax.Array) -> jax.Array:

@@ -281,7 +281,7 @@ def _unit_norm(x: jax.Array) -> jax.Array:
 def ranger21(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-4,
              use_gc=True, use_gcnorm=True, agc_clip=1e-2, agc_eps=1e-3,
              pnm_factor=1.0, softplus_beta=50.0, normloss_factor=1e-4,
-             lookahead_k=6, lookahead_alpha=0.5) -> optax.GradientTransformation:
+             lookahead_k=5, lookahead_alpha=0.5) -> optax.GradientTransformation:
     """Ranger21 as one fused optax transformation (see block comment)."""
     noise_norm = jnp.sqrt((1.0 + b2) ** 2 + b2 ** 2)
 

@@ -63,3 +63,11 @@ def test_std_conv_transpose_runs():
     y = m.apply(v, x)
     assert y.shape == (2, 16, 16, 6)
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_coord_att_non_divisible_bottleneck():
+    # regression: mip = 384 // 32 = 12 is not divisible by 8
+    m = CoordAtt(features=384, reduction=32, dtype=jnp.float32)
+    x = jnp.ones((1, 4, 4, 384), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == x.shape

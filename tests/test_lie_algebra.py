@@ -72,3 +72,12 @@ def test_quat_to_lie_vec_consistent_with_mat():
     v1 = np.asarray(R.quat_to_lie_vec(q))
     v2 = np.asarray(R.rot_to_lie_vec(ROTS))
     np.testing.assert_allclose(v1, v2, atol=1e-4)
+
+
+def test_log_map_grad_safe_at_identity():
+    # regression: norm(q_imag) at the identity had a 0/0 NaN gradient
+    g = jax.grad(lambda q: jnp.sum(R.quat_to_lie_vec(q)))(
+        jnp.asarray([1.0, 0.0, 0.0, 0.0]))
+    assert np.all(np.isfinite(np.asarray(g))), g
+    g2 = jax.grad(lambda r: jnp.sum(R.rot_to_lie_vec(r) ** 2))(jnp.eye(3))
+    assert np.all(np.isfinite(np.asarray(g2))), g2

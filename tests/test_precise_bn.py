@@ -58,3 +58,30 @@ def test_empty_batches_noop():
     v = m.init(jax.random.PRNGKey(0), jnp.ones((2, 4, 4, 3)))
     out = precise_bn_stats(m, v["params"], v["batch_stats"], [])
     assert out is v["batch_stats"]
+
+
+def test_checkpoint_persists_batch_stats(tmp_path):
+    # regression: BN running stats were dropped by save/restore
+    import optax
+    from gdrnpp_bop2022_tpu.engine import create_train_state
+    from gdrnpp_bop2022_tpu.engine.checkpoint import CheckpointManager
+
+    m = TinyBN()
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 4, 4, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    state = create_train_state(m.apply, v["params"], optax.sgd(1e-3),
+                               batch_stats=v["batch_stats"])
+    # make stats non-trivial
+    _, upd = m.apply({"params": state.params,
+                      "batch_stats": state.batch_stats}, x,
+                     mutable=["batch_stats"])
+    state = state.replace(batch_stats=upd["batch_stats"])
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(state, 1)
+    fresh = create_train_state(m.apply, v["params"], optax.sgd(1e-3),
+                               batch_stats=v["batch_stats"])
+    restored = CheckpointManager(str(tmp_path / "ck")).restore_latest(fresh)
+    got = np.asarray(restored.batch_stats["BatchNorm_0"]["mean"])
+    want = np.asarray(state.batch_stats["BatchNorm_0"]["mean"])
+    np.testing.assert_allclose(got, want, atol=1e-7)
+    assert not np.allclose(got, 0.0)

@@ -82,7 +82,7 @@ def main():
     meta = get_meta(args.dataset)
     detect = build_detector(meta, args.size, args.input_size, args.ckpt,
                             args.conf_thr, args.nms_thr)
-    label2obj = {i: obj_id for i, obj_id in enumerate(sorted(meta.id2obj))}
+    label2obj = meta.label_to_obj_id()
 
     os.makedirs(args.out, exist_ok=True)
     all_dets = {}

@@ -64,9 +64,10 @@ def vis_records(records, models_info, n_images: int, out_dir: str,
         panels = [img, panel_pose, panel_mask]
         titles = ["rgb", "gt_pose_boxes", "gt_masks"]
 
-        if dzi_cfg is not None:
-            boxes = np.stack([inst.bbox_visib for inst in insts
-                              if inst.bbox_visib is not None])
+        box_list = [inst.bbox_visib for inst in insts
+                    if inst.bbox_visib is not None]
+        if dzi_cfg is not None and box_list:
+            boxes = np.stack(box_list)
             centers, scales = dzi_jitter_host(
                 rng, boxes.astype(np.float32), img.shape[1], img.shape[0],
                 pad_scale=dzi_cfg.dzi_pad_scale,
@@ -112,8 +113,7 @@ def main():
     split = name.split("_", 1)[1] if "_" in name else "test"
     split_dir = os.path.join(cfg.datasets.root, meta.name, split)
     records = index_bop_split(split_dir, meta)
-    models_info = load_models_info(
-        os.path.join(cfg.datasets.root, meta.name, meta.models_dir))
+    models_info = load_models_info(meta.models_dir(cfg.datasets.root))
     outs = vis_records(records, models_info, args.num_images, args.out,
                        dzi_cfg=cfg.input if args.dzi else None)
     print(f"wrote {len(outs)} visualization grids to {args.out}")
