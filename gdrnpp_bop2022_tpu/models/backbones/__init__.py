@@ -1,5 +1,6 @@
 from .convnext import ConvNeXt, convnext_tiny, convnext_small, convnext_base
-from .resnet import ResNet, resnet34, resnet50, resnet101
+from .resnet import (ResNet, resnet34, resnet50, resnet101,
+                     resnet18_8s, resnet34_8s)
 from .resnest import ResNeSt, resnest50, resnest101
 
 BACKBONES = {
@@ -9,6 +10,8 @@ BACKBONES = {
     "resnet34": resnet34,
     "resnet50": resnet50,
     "resnet101": resnet101,
+    "resnet18_8s": resnet18_8s,
+    "resnet34_8s": resnet34_8s,
     "resnest50": resnest50,
     "resnest101": resnest101,
 }

@@ -26,7 +26,8 @@ from ..geometry.se3 import (
     pose_from_trans,
 )
 from .backbones.convnext import convnext_tiny, convnext_small, convnext_base
-from .backbones.resnet import resnet34, resnet50, resnet101
+from .backbones.resnet import (resnet34, resnet50, resnet101,
+                               resnet18_8s, resnet34_8s)
 from .backbones.resnest import resnest50, resnest101
 
 
@@ -63,6 +64,10 @@ def _build_backbone(cfg: PoseNetConfig, dtype, out_indices=None):
         "resnet34": resnet34,
         "resnet50": resnet50,
         "resnet101": resnet101,
+        # pvnet-heritage dilated stride-8 nets: pair with the conv-only
+        # geo head and output_res = input_res // 8
+        "resnet18_8s": resnet18_8s,
+        "resnet34_8s": resnet34_8s,
         "resnest50": resnest50,
         "resnest101": resnest101,
         "cspdarknet": _CSPDarknetBackbone,
