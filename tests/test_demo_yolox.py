@@ -67,7 +67,7 @@ if "synthy" not in DATASETS_META:
          "--images", f"{img_dir}/*.png", "--size", "yolox_s",
          "--input-size", "64", "--conf-thr", "0.01",
          "--out", str(out), "--save-dets", str(dets_path)],
-        env=env, capture_output=True, text=True, timeout=560,
+        env=env, capture_output=True, text=True, timeout=1500,
         cwd=REPO)
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     outs = sorted(os.listdir(out))

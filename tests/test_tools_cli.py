@@ -50,7 +50,7 @@ def test_export_model_roundtrip(tmp_path):
     # timeout so the test survives a loaded CI host
     proc = _run([os.path.join(REPO, "tools", "export_model.py"),
                  "--config", str(cfg_path), "--out", str(out),
-                 "--batch-size", "2"], timeout=1000)
+                 "--batch-size", "2"], timeout=1500)
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "reload check ok: (2, 3, 3) (2, 3)" in proc.stdout
     assert os.path.getsize(out / "gdrn_forward.stablehlo") > 10_000
