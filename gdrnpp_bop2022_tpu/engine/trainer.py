@@ -144,14 +144,15 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
         from ..ops.color_aug import color_aug_by_type, replace_background
         images = jnp.asarray(host_batch["images"])
         k_bg, k_color, k_depth = jax.random.split(key, 3)
+        bg_gate = None
         if cfg.input.change_bg_prob > 0 and "bg_images" in host_batch:
             # fg_masks is the (possibly fg-truncated) visible mask
             # (reference replace_bg + trunc_mask, base_data_loader.py:413-478)
-            images = replace_background(
+            images, bg_gate = replace_background(
                 k_bg, images.astype(jnp.float32),
                 jnp.asarray(host_batch["fg_masks"]),
                 jnp.asarray(host_batch["bg_images"]),
-                prob=cfg.input.change_bg_prob)
+                prob=cfg.input.change_bg_prob, return_gate=True)
         if cfg.input.color_aug.prob > 0:
             aug_fn = color_aug_by_type(cfg.input.color_aug.aug_type)
             if cfg.input.color_aug.aug_type in ("cosy+aae", "cosy_aae"):
@@ -178,16 +179,21 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
             jnp.asarray(host_batch["mask_idx"]),
             verts, faces, fps_pts, extents, **prep_args)
         batch["gt_points"] = jnp.take(points, batch["roi_labels"], axis=0)
-        if cfg.input.truncate_fg and "fg_masks" in host_batch:
+        if (cfg.input.truncate_fg and "fg_masks" in host_batch
+                and bg_gate is not None):
             # reference mask_trunc = mask_visib * trunc_mask
             # (data_loader.py:522-532) — fold the truncation into the
-            # trunc-mask GT at crop resolution
+            # trunc-mask GT at crop resolution, but ONLY for samples whose
+            # background was actually replaced: the reference truncates
+            # inside replace_bg, so an un-replaced image still shows the
+            # full object and must keep full supervision
             from ..ops.crop import roi_crop_resize
             tm = roi_crop_resize(
                 jnp.asarray(host_batch["fg_masks"])[..., None],
                 jnp.asarray(host_batch["centers"]),
                 jnp.asarray(host_batch["scales"]),
                 prep_args["output_res"], method="nearest")[..., 0]
+            tm = jnp.where(bg_gate[:, None, None] > 0, tm, 1.0)
             batch["gt_mask_trunc"] = batch["gt_mask_trunc"] * tm
         if cfg.input.with_depth:
             from ..ops.depth_aug import gdrn_depth_aug

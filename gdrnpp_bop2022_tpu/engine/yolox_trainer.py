@@ -196,7 +196,13 @@ def train_yolox(records, num_classes: int, output_dir: str,
     rng = jax.random.PRNGKey(seed + 1)
     ms_rng = np.random.RandomState(seed + 2)
     host_batch = host
+    # best metric persists across restarts, else the first post-resume eval
+    # would always overwrite ckpt_yolox_best even when worse
+    best_val_path = os.path.join(output_dir, "best_val.json")
     best_val = -np.inf
+    if resume and os.path.exists(best_val_path):
+        with open(best_val_path) as f:
+            best_val = float(json.load(f)["best"])
     cur_size = input_size
     t0 = time.perf_counter()
     for it in range(start_iter, total_iters):
@@ -262,6 +268,8 @@ def train_yolox(records, num_classes: int, output_dir: str,
             val = float(val_metrics.get(eval_metric, -np.inf))
             if val > best_val:
                 best_val = val
+                with open(best_val_path, "w") as f:
+                    json.dump({"best": best_val, "iteration": it + 1}, f)
                 best_ckpt.save(state, it + 1)
                 print(f"yolox eval @ {it+1}: {eval_metric}={val:.4f} "
                       f"(new best)", flush=True)

@@ -52,12 +52,17 @@ def detections_to_bop_json(
 def evaluate_yolox_records(
     model, params, det_records, input_size: int, num_classes: int,
     conf_thr: float = 0.3, nms_thr: float = 0.65, max_dets: int = 32,
-    batch_size: int = 8,
+    batch_size: int = 8, batch_stats=None,
 ) -> Dict[str, float]:
     """Run YOLOX inference over per-image DetRecords and score mAP against
     their own GT boxes (in-train eval; reference: COCO eval hook,
     yolox_trainer.py:226-283 via YOLOX_COCOEvaluator). Returns coco_map's
-    metric dict (mAP, mAP50, ...)."""
+    metric dict (mAP, mAP50, ...).
+
+    batch_stats: BatchNorm running stats for norm="BN" models (the
+    trainer's eval hook passes them; without them a BN model cannot run
+    in inference mode). Preprocessing is the SAME ratio-preserving
+    letterbox as deployment (test_yolox/demo), not a squash-resize."""
     import cv2
     import jax
     import jax.numpy as jnp
@@ -65,9 +70,13 @@ def evaluate_yolox_records(
     from ..models.yolox.head import flatten_outputs
     from ..models.yolox.yolox import postprocess_nms
 
+    variables = dict(params) if "params" in params else {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+
     @jax.jit
-    def infer(p, imgs):
-        outs = model.apply({"params": p} if "params" not in p else p, imgs)
+    def infer(vs, imgs):
+        outs = model.apply(vs, imgs)
         flat, grids, st = flatten_outputs(outs, (8, 16, 32))
         return postprocess_nms(flat, grids, st, conf_thr=conf_thr,
                                nms_thr=nms_thr, max_dets=max_dets)
@@ -80,13 +89,17 @@ def evaluate_yolox_records(
         for r in chunk:
             img = load_image(r.rgb_path)
             h, w = img.shape[:2]
-            imgs.append(cv2.resize(img, (input_size, input_size)))
-            scales.append((w / input_size, h / input_size))
+            ratio = min(input_size / h, input_size / w)
+            canvas = np.full((input_size, input_size, 3), 114, np.uint8)
+            rs = cv2.resize(img, (int(w * ratio), int(h * ratio)))
+            canvas[:rs.shape[0], :rs.shape[1]] = rs
+            imgs.append(canvas)
+            scales.append((1.0 / ratio, 1.0 / ratio))
         pad = batch_size - len(chunk)
         if pad:
             imgs += [imgs[-1]] * pad
-        out = jax.device_get(infer(params, jnp.asarray(np.stack(imgs),
-                                                       jnp.float32)))
+        out = jax.device_get(infer(variables, jnp.asarray(np.stack(imgs),
+                                                          jnp.float32)))
         for j, r in enumerate(chunk):
             sx, sy = scales[j]
             keep = out["valid"][j] & (out["scores"][j] > conf_thr)

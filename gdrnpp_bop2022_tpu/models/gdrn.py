@@ -195,9 +195,9 @@ class GDRN(nn.Module):
         # GDRN_double_mask.py:54-64: one log-variance per loss term)
         self._mtl_names = (
             "mask", "mask_full", "coor_x", "coor_y", "coor_z", "region",
-            "PM_R", "PM_xy", "PM_z", "PM_xy_noP", "PM_z_noP", "PM_T",
-            "PM_T_noP", "centroid", "z", "trans_xy", "trans_z", "trans_LPnP",
-            "rot", "bind") if pc.loss.use_mtl else ()
+            "PM_R", "PM_RT", "PM_xy", "PM_z", "PM_xy_noP", "PM_z_noP",
+            "PM_T", "PM_T_noP", "centroid", "z", "trans_xy", "trans_z",
+            "trans_LPnP", "rot", "bind") if pc.loss.use_mtl else ()
         self._mtl_log_vars = {
             name: self.param(f"log_var_{name}", nn.initializers.zeros,
                              (), jnp.float32)

@@ -134,8 +134,25 @@ class ConvPnPNetCls(ConvPnPNet):
             x = ConvModule(self.featdim, kernel_size=3, strides=2, norm=self.norm,
                            num_gn_groups=self.num_gn_groups, act=self.act,
                            dtype=self.dtype, name=f"conv_s2_{i}")(x)
+        for i in range(self.num_extra_layers):
+            x = ConvModule(self.featdim, kernel_size=3, strides=1, norm=self.norm,
+                           num_gn_groups=self.num_gn_groups, act=self.act,
+                           dtype=self.dtype, name=f"conv_extra_{i}")(x)
         B = x.shape[0]
-        flat = x.reshape(B, -1)
+        flat = x.reshape(B, -1, self.featdim)
+        if self.flat_op == "flatten":
+            flat = flat.reshape(B, -1)
+        elif self.flat_op == "avg":
+            flat = flat.mean(axis=1)
+        elif self.flat_op == "avg-max":
+            flat = jnp.concatenate([flat.mean(axis=1), flat.max(axis=1)],
+                                   axis=-1)
+        elif self.flat_op == "avg-max-min":
+            flat = jnp.concatenate(
+                [flat.mean(axis=1), flat.max(axis=1), flat.min(axis=1)],
+                axis=-1)
+        else:
+            raise ValueError(f"Invalid flat_op: {self.flat_op}")
         act = get_act(self.act if self.act != "relu" else "lrelu")
         h = act(nn.Dense(1024, dtype=self.dtype, param_dtype=jnp.float32,
                          name="fc1")(flat))

@@ -164,11 +164,16 @@ def cosy_aae_color_aug(key: jax.Array, images: jax.Array,
 
 
 def replace_background(key: jax.Array, images: jax.Array, fg_masks: jax.Array,
-                       bg_images: jax.Array, prob: float = 0.5) -> jax.Array:
+                       bg_images: jax.Array, prob: float = 0.5,
+                       return_gate: bool = False):
     """Swap pixels outside the foreground mask with a random background
     image (reference: base_data_loader.py:413-460 replace_bg).
 
     images (B, H, W, 3), fg_masks (B, H, W), bg_images (N, H, W, 3).
+    return_gate: also return the per-sample replacement bernoulli (B,) so
+    callers can tie fg-truncation supervision to the samples that were
+    ACTUALLY composited (the reference truncates inside replace_bg, so
+    truncation and replacement always coincide).
     """
     B = images.shape[0]
     k1, k2 = jax.random.split(key)
@@ -177,7 +182,10 @@ def replace_background(key: jax.Array, images: jax.Array, fg_masks: jax.Array,
     use = jax.random.bernoulli(k2, prob, (B, 1, 1, 1)).astype(images.dtype)
     fg = fg_masks[..., None].astype(images.dtype)
     swapped = images * fg + bgs * (1.0 - fg)
-    return images * (1 - use) + swapped * use
+    out = images * (1 - use) + swapped * use
+    if return_gate:
+        return out, use[:, 0, 0, 0]
+    return out
 
 
 def ssd_color_aug(key: jax.Array, images: jax.Array,

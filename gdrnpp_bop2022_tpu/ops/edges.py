@@ -71,7 +71,11 @@ def canny_edges(images: jax.Array, low_threshold: float = 10.0) -> jax.Array:
     d = jnp.round(ang / (jnp.pi / 4)).astype(jnp.int32) % 4   # 0:E 1:NE 2:N 3:NW
 
     def shift(m, dy, dx):
-        return jnp.roll(m, (dy, dx), axis=(1, 2))
+        # zero-padded shift (NOT roll): border pixels must compare against
+        # zeros, not magnitudes wrapped from the opposite image edge
+        B, H, W = m.shape
+        p = jnp.pad(m, ((0, 0), (1, 1), (1, 1)))
+        return jax.lax.dynamic_slice(p, (0, 1 - dy, 1 - dx), (B, H, W))
 
     neigh = [
         (shift(mag, 0, 1), shift(mag, 0, -1)),     # E-W

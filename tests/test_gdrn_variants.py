@@ -193,3 +193,30 @@ def test_acon_and_cls_pnp_modules():
     # different labels with same input give different outputs (per-class fc)
     rot2, _ = head.apply(params, cf, extents=ext, labels=jnp.asarray([0, 2]))
     assert not np.allclose(np.asarray(rot), np.asarray(rot2))
+
+
+def test_cls_pnp_honors_extra_layers_and_flat_op():
+    # regression: ConvPnPNetCls silently ignored num_extra_layers/flat_op
+    import jax
+    import jax.numpy as jnp
+    from gdrnpp_bop2022_tpu.models.heads.conv_pnp_net import ConvPnPNetCls
+    m = ConvPnPNetCls(num_classes=2, featdim=16, rot_dim=6,
+                      num_stride2_layers=2, num_extra_layers=1,
+                      num_gn_groups=8, flat_op="avg", dtype=jnp.float32)
+    x = jnp.ones((2, 16, 16, 5))
+    labels = jnp.asarray([0, 1])
+    v = m.init(jax.random.PRNGKey(0), x, extents=jnp.ones((2, 3)),
+               labels=labels)
+    assert "conv_extra_0" in v["params"], sorted(v["params"])
+    # flat_op=avg: fc1 input dim == featdim (not HW*featdim)
+    assert v["params"]["fc1"]["kernel"].shape[0] == 16
+    r, t = m.apply(v, x, extents=jnp.ones((2, 3)), labels=labels)
+    assert r.shape == (2, 6) and t.shape == (2, 3)
+
+
+def test_mtl_covers_pm_rt():
+    # regression: PM_RT (combined point-matching) was missing from the
+    # task-uncertainty log-var set
+    cfg = _cfg(**{"model.pose_net.loss.use_mtl": True})
+    out, batch = _run(cfg)
+    assert out["log_vars"] is not None and "PM_RT" in out["log_vars"]

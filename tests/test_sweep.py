@@ -76,7 +76,7 @@ def test_two_dataset_synth_sweep(tmp_path):
          "--datasets", *names, "--root", str(root), "--mode", "eval",
          "--config-dir", str(cfg_dir), "--config-suffix", "_tiny.py",
          "--out", str(out), "--yolox-size", "yolox_s",
-         "--yolox-input-size", "64"],
+         "--yolox-input-size", "64", "--yolox-allow-random"],
         env=env, capture_output=True, text=True, timeout=1100)
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
 

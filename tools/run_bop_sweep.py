@@ -49,6 +49,8 @@ def gen_detections(ds: str, cfg, cfg_path: str, args) -> str | None:
            "--out", out_dir, "--meta-from-config", cfg_path]
     if args.yolox_ckpt:
         cmd += ["--ckpt", args.yolox_ckpt.format(ds=ds)]
+    elif args.yolox_allow_random:
+        cmd += ["--allow-random-weights"]
     rc = subprocess.call(cmd)
     if rc != 0:
         print(f"[{ds}] detector eval failed rc={rc}")
@@ -69,6 +71,10 @@ def main():
     ap.add_argument("--yolox-input-size", type=int, default=640)
     ap.add_argument("--yolox-ckpt", default=None,
                     help="optional ckpt dir pattern, '{ds}' substituted")
+    ap.add_argument("--yolox-allow-random", action="store_true",
+                    help="forwarded to test_yolox --allow-random-weights "
+                         "(smoke tests only; without it a missing "
+                         "--yolox-ckpt fails loudly)")
     ap.add_argument("--gdrn-ckpt", default=None,
                     help="optional GDRN ckpt dir pattern, '{ds}' substituted; "
                          "defaults to the in-sweep training output in --mode both")

@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--size", default="yolox_x")
     ap.add_argument("--input-size", type=int, default=640)
     ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--allow-random-weights", action="store_true",
+                    help="permit running WITHOUT a checkpoint (random "
+                         "init) — smoke tests only; otherwise --ckpt is "
+                         "required so detections are never silently "
+                         "produced by an untrained detector")
     ap.add_argument("--out", default=None)
     ap.add_argument("--conf-thr", type=float, default=0.01)
     ap.add_argument("--nms-thr", type=float, default=0.65)
@@ -33,6 +38,15 @@ def main():
                     help="config .py to exec first (registers custom "
                          "dataset metadata, e.g. synthetic sweeps)")
     args = ap.parse_args()
+
+    if not args.ckpt and not args.allow_random_weights:
+        ap.error("no --ckpt given: an untrained detector would silently "
+                 "emit garbage detections (and GDRN eval downstream would "
+                 "report near-zero AR that looks like a pose regression). "
+                 "Pass --ckpt, or --allow-random-weights for smoke tests.")
+    if not args.ckpt:
+        print("WARNING: running with RANDOM detector weights "
+              "(--allow-random-weights)", flush=True)
 
     if args.meta_from_config:
         import importlib.util

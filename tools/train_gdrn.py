@@ -118,11 +118,17 @@ def main():
             results = run_gdrn_inference(
                 apply, state.ema_params if cfg.model.ema_enabled
                 else state.params,
-                iter_test_batches(by_im, dets, batch_size=64),
+                # dstream RGB-D configs need depth ROIs at eval too
+                # (reference data_loader.py:522-533 test depth crops)
+                iter_test_batches(by_im, dets, batch_size=64,
+                                  with_depth=cfg.input.with_depth,
+                                  depth_factor=meta.depth_factor),
                 bank.extents, input_res=pc.input_res,
                 output_res=pc.output_res,
                 pixel_mean=cfg.model.pixel_mean,
-                pixel_std=cfg.model.pixel_std)
+                pixel_std=cfg.model.pixel_std,
+                with_depth_input=cfg.input.with_depth,
+                bp_depth=cfg.input.bp_depth)
             scores = score_bop_results(results, gt_rows, bank,
                                        im_width=meta.width,
                                        errors=("mssd", "mspd"))
