@@ -103,3 +103,17 @@ def test_compute_mask_miou(tmp_path):
     nums = [float(v) for v in re.findall(r"\d+\.\d+", proc.stdout)]
     assert any(abs(v - 1.0) < 1e-6 for v in nums)
     assert any(abs(v - 0.6) < 0.02 for v in nums)
+
+
+def test_profile_model(tmp_path):
+    cfg_path = tmp_path / "cfg.py"
+    cfg_path.write_text(TINY_CFG.format(repo=REPO))
+    proc = _run([os.path.join(REPO, "tools", "profile_model.py"),
+                 "--config", str(cfg_path), "--batch-size", "2",
+                 "--loops", "2", "4"], timeout=900)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    import json as _json
+    report = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["gflop_per_roi"] > 0.1
+    assert report["roi_per_sec"] > 0
+    assert "cpu" in report["device"].lower()
