@@ -78,6 +78,24 @@ def _random_affine(img, boxes, labels, rng, degrees=10.0, translate=0.1,
     return img2, boxes, labels
 
 
+
+def letterbox(img, size: int, fill: int = 114):
+    """Ratio-preserving resize onto a (size, size) gray canvas, top-left
+    anchored (reference ValTransform/letterbox, data_augment.py:161).
+    Returns (canvas uint8, ratio) — boxes map as xyxy * ratio. The ONE
+    implementation shared by training eval, test_yolox, and the demos so
+    train/eval/deployment preprocessing cannot drift.
+    """
+    import cv2
+    import numpy as np
+    H, W = img.shape[:2]
+    r = min(size / H, size / W)
+    canvas = np.full((size, size, 3), fill, np.uint8)
+    rs = cv2.resize(img, (int(W * r), int(H * r)))
+    canvas[:rs.shape[0], :rs.shape[1]] = rs
+    return canvas, r
+
+
 class YoloxTrainLoader:
     """Infinite mosaic/mixup loader producing padded detection batches."""
 

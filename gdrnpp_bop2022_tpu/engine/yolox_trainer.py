@@ -131,7 +131,7 @@ def train_yolox(records, num_classes: int, output_dir: str,
                 resume: bool = True,
                 eval_fn: Optional[Callable] = None,
                 eval_period: int = 0,
-                eval_metric: str = "mAP50",
+                eval_metric: str = "AP50",
                 multiscale_range: int = 0,
                 multiscale_period: int = 10,
                 mosaic_prob: Optional[float] = None,
@@ -200,7 +200,9 @@ def train_yolox(records, num_classes: int, output_dir: str,
     # would always overwrite ckpt_yolox_best even when worse
     best_val_path = os.path.join(output_dir, "best_val.json")
     best_val = -np.inf
-    if resume and os.path.exists(best_val_path):
+    # only inherit the persisted best when we ACTUALLY resumed a
+    # checkpoint — a fresh run in a reused output dir must start clean
+    if start_iter > 0 and os.path.exists(best_val_path):
         with open(best_val_path) as f:
             best_val = float(json.load(f)["best"])
     cur_size = input_size

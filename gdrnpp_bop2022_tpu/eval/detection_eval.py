@@ -57,7 +57,7 @@ def evaluate_yolox_records(
     """Run YOLOX inference over per-image DetRecords and score mAP against
     their own GT boxes (in-train eval; reference: COCO eval hook,
     yolox_trainer.py:226-283 via YOLOX_COCOEvaluator). Returns coco_map's
-    metric dict (mAP, mAP50, ...).
+    metric dict (mAP, AP50).
 
     batch_stats: BatchNorm running stats for norm="BN" models (the
     trainer's eval hook passes them; without them a BN model cannot run
@@ -67,6 +67,7 @@ def evaluate_yolox_records(
     import jax
     import jax.numpy as jnp
     from ..datasets.bop_data import load_image
+    from ..datasets.yolox_loader import letterbox
     from ..models.yolox.head import flatten_outputs
     from ..models.yolox.yolox import postprocess_nms
 
@@ -88,11 +89,7 @@ def evaluate_yolox_records(
         imgs, scales = [], []
         for r in chunk:
             img = load_image(r.rgb_path)
-            h, w = img.shape[:2]
-            ratio = min(input_size / h, input_size / w)
-            canvas = np.full((input_size, input_size, 3), 114, np.uint8)
-            rs = cv2.resize(img, (int(w * ratio), int(h * ratio)))
-            canvas[:rs.shape[0], :rs.shape[1]] = rs
+            canvas, ratio = letterbox(img, input_size)
             imgs.append(canvas)
             scales.append((1.0 / ratio, 1.0 / ratio))
         pad = batch_size - len(chunk)

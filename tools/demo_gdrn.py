@@ -55,11 +55,8 @@ def build_detector(meta, size, input_size, ckpt_dir, conf_thr, nms_thr):
                                nms_thr=nms_thr)
 
     def detect(img):
-        H, W = img.shape[:2]
-        r = min(input_size / H, input_size / W)
-        canvas = np.full((input_size, input_size, 3), 114, np.uint8)
-        rs = cv2.resize(img, (int(W * r), int(H * r)))
-        canvas[:rs.shape[0], :rs.shape[1]] = rs
+        from gdrnpp_bop2022_tpu.datasets.yolox_loader import letterbox
+        canvas, r = letterbox(img, input_size)
         det = jax.device_get(infer(jnp.asarray(canvas)[None]
                                    .astype(jnp.float32)))
         keep = det["valid"][0] & (det["scores"][0] > conf_thr)

@@ -82,6 +82,10 @@ def main():
     keys = ("roi_img", "roi_labels", "roi_coord_2d", "roi_cams",
             "roi_centers", "roi_whs", "roi_extents", "resize_ratios")
     inputs = {k: batch[k] for k in keys}
+    is_dstream = "dstream" in pc.name
+    if is_dstream:
+        # dual-stream RGB-D: feed a synthetic backprojected-depth ROI
+        inputs["roi_depth"] = jnp.zeros_like(batch["roi_img"])
     variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
                                     **inputs)
     params = variables["params"]
@@ -91,7 +95,8 @@ def main():
                           a["roi_img"] + eps.astype(a["roi_img"].dtype),
                           a["roi_labels"], a["roi_coord_2d"], a["roi_cams"],
                           a["roi_centers"], a["roi_whs"], a["roi_extents"],
-                          a["resize_ratios"])
+                          a["resize_ratios"],
+                          roi_depth=a.get("roi_depth"))
         return (jnp.sum(out["trans"]) + jnp.sum(out["rot"])
                 ).astype(jnp.float32)
 
@@ -99,7 +104,8 @@ def main():
     lowered = jax.jit(lambda p, a: model.apply(
         {"params": p}, a["roi_img"], a["roi_labels"], a["roi_coord_2d"],
         a["roi_cams"], a["roi_centers"], a["roi_whs"], a["roi_extents"],
-        a["resize_ratios"])).lower(params, inputs)
+        a["resize_ratios"], roi_depth=a.get("roi_depth"))).lower(
+            params, inputs)
     cost = lowered.compile().cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0]
@@ -118,16 +124,23 @@ def main():
     report["roi_per_sec"] = round(B / dt, 1)
     report["achieved_tflops"] = round(flops / dt / 1e12, 1)
 
-    if args.breakdown:
-        # time the backbone alone on the same images; head+decode = rest
+    if args.breakdown and is_dstream:
+        report["breakdown"] = "unsupported for dstream (two backbones)"
+    elif args.breakdown:
+        # time the backbone alone on the same images, with the SAME
+        # out_indices GDRN.setup uses; head+decode = rest
         from gdrnpp_bop2022_tpu.models.gdrn import _build_backbone
-        backbone = _build_backbone(pc, model.dtype)
+        bb_out = ((0, 1, 2, 3) if pc.geo_head.name == "fpn_mask_xyz_region"
+                  else None)
+        backbone = _build_backbone(pc, model.dtype, out_indices=bb_out)
         v_bb = jax.jit(backbone.init)(jax.random.PRNGKey(0),
                                       inputs["roi_img"])
 
         def f_bb(p, a, eps):
-            return jnp.sum(backbone.apply(
-                p, a + eps.astype(a.dtype)).astype(jnp.float32))
+            out = backbone.apply(p, a + eps.astype(a.dtype))
+            if isinstance(out, (list, tuple)):
+                return sum(jnp.sum(o).astype(jnp.float32) for o in out)
+            return jnp.sum(out).astype(jnp.float32)
 
         dt_bb = timed_loop(f_bb, v_bb, inputs["roi_img"], *args.loops)
         report["backbone_ms"] = round(dt_bb * 1e3, 2)

@@ -112,11 +112,8 @@ def main():
     per_image, scales, gts, dets_eval = {}, {}, {}, {}
     for key, entry in sorted(by_img.items()):
         img = load_image(entry["path"])
-        H, W = img.shape[:2]
-        r = min(S / H, S / W)
-        canvas = np.full((S, S, 3), 114, np.uint8)
-        rs = cv2.resize(img, (int(W * r), int(H * r)))
-        canvas[:rs.shape[0], :rs.shape[1]] = rs
+        from gdrnpp_bop2022_tpu.datasets.yolox_loader import letterbox
+        canvas, r = letterbox(img, S)
         if params is None:
             variables = model.init(jax.random.PRNGKey(0),
                                    jnp.asarray(canvas)[None].astype(jnp.float32))
