@@ -262,8 +262,11 @@ class ValConfig:
     pnp_type: str = "ransac_pnp"      # ransac_pnp | net_iter_pnp | uncertainty_pnp
     eval_precision: bool = False
     save_results_only: bool = False
-    vsd_mode: str = "auto"            # auto | window | full (eval/vsd.py:
-                                      # full = strict toolkit equivalence)
+    vsd_mode: str = "full"            # full | auto | window (eval/vsd.py).
+                                      # full = strict toolkit equivalence,
+                                      # the default; window is a measured
+                                      # approximation (PARITY.md) for fast
+                                      # sweeps, auto guards clipping only
 
 
 @dataclass(frozen=True)
@@ -275,7 +278,10 @@ class TrainRuntimeConfig:
     tensorboard: bool = True          # scalars to a native tfevents file
     eval_period: int = 0
     vis_period: int = 0
-    num_workers: int = 8
+    num_workers: int = 8              # decode threads inside the loader
+    num_builders: int = 1             # parallel whole-batch builders (>1:
+                                      # queue order may interleave)
+    cache_gb: float = 16.0            # host-RAM decoded-image LRU budget
 
 
 @dataclass(frozen=True)

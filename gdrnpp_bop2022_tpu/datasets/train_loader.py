@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import threading
 import queue as queue_mod
+from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -48,6 +50,9 @@ class GdrnTrainLoader:
         with_depth: bool = False,
         sampler: str = "random",       # random | repeat_factor
         repeat_thresh: float = 0.01,
+        num_workers: int = 4,
+        num_builders: int = 1,
+        cache_gb: float = 0.0,
     ):
         """bg_paths: image files for background replacement (reference
         _bg_img_paths from VOC/COCO/SUN, base_data_loader.py:339-460).
@@ -55,7 +60,24 @@ class GdrnTrainLoader:
         background per sample per batch from the full list (reference
         semantics — one random path per item), aspect-preserving crop+resize
         (get_bg_image). truncate_fg: randomly truncate the foreground mask
-        before replacement (trunc_mask, base_data_loader.py:454-478)."""
+        before replacement (trunc_mask, base_data_loader.py:454-478).
+
+        Parallelism (reference: N dataloader worker processes,
+        data_loader.py:842-899): num_workers threads decode the batch's
+        samples concurrently (cv2 png/jpg decode releases the GIL; all RNG
+        decisions are drawn sequentially in the builder BEFORE the parallel
+        map, so batch content is deterministic in `seed` regardless of
+        num_workers). num_builders > 1 additionally overlaps whole-batch
+        builds — each builder owns a derived RNG stream, so batch contents
+        stay reproducible per-builder but queue ORDER may interleave.
+
+        cache_gb > 0 keeps decoded per-record sample dicts (rgb + masks +
+        depth, post-resize) in a host-RAM LRU keyed by rgb path. TPU hosts
+        carry ~100+ GB of RAM and training redraws each image ~20x over a
+        run, so a warm cache removes nearly all png decode from the steady
+        state — the TPU-native substitute for the reference's
+        pickle/shared-memory dataset serialization (base_data_loader.py:
+        73-83, which caches ENCODED bytes; we cache decoded pixels)."""
         assert len(records) > 0
         self.records = list(records)
         self._bg_paths = list(bg_paths) if bg_paths else None
@@ -83,18 +105,30 @@ class GdrnTrainLoader:
             self._probs = w / w.sum()
         elif sampler != "random":
             raise ValueError(f"unknown sampler: {sampler}")
+        self._pool = (ThreadPoolExecutor(max_workers=num_workers)
+                      if num_workers > 1 else None)
+        self._cache: "OrderedDict[str, dict]" = OrderedDict()
+        self._cache_budget = int(cache_gb * (1 << 30))
+        self._cache_bytes = 0
+        self._cache_lock = threading.Lock()
+        self.cache_hits = 0
+        self.cache_misses = 0
         self._queue: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        self._threads = []
+        for b in range(max(num_builders, 1)):
+            rng = self.rng if b == 0 else np.random.RandomState(seed + 7919 * b)
+            th = threading.Thread(target=self._worker, args=(rng,),
+                                  daemon=True)
+            th.start()
+            self._threads.append(th)
 
-    def _pick_record(self) -> InstanceRecord:
-        if self.records2 and self.rng.uniform() < self.ratio2:
-            return self.records2[self.rng.randint(len(self.records2))]
+    def _pick_record(self, rng) -> InstanceRecord:
+        if self.records2 and rng.uniform() < self.ratio2:
+            return self.records2[rng.randint(len(self.records2))]
         if self._probs is not None:
-            return self.records[self.rng.choice(len(self.records),
-                                                p=self._probs)]
-        return self.records[self.rng.randint(len(self.records))]
+            return self.records[rng.choice(len(self.records), p=self._probs)]
+        return self.records[rng.randint(len(self.records))]
 
     def _select_bbox(self, rec: InstanceRecord) -> np.ndarray:
         bt = self.bbox_type.upper()
@@ -112,82 +146,135 @@ class GdrnTrainLoader:
             b = np.array([0, 0, self.im_w, self.im_h], np.float32)
         return np.asarray(b, np.float32)
 
-    def _build_batch(self) -> dict:
-        B = self.batch_size
-        recs = [self._pick_record() for _ in range(B)]
-        images, mvs, mfs, depths = [], [], [], []
-        boxes, labels, rots, transes, Ks = [], [], [], [], []
-        for r in recs:
+    def _cached(self, key: str, fn):
+        """Host-RAM LRU for decoded arrays (returned arrays are shared —
+        treat as read-only; every consumer copies via np.stack)."""
+        if self._cache_budget <= 0:
+            return fn()
+        with self._cache_lock:
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                self.cache_hits += 1
+                return self._cache[key]
+        val = fn()
+        with self._cache_lock:
+            self.cache_misses += 1
+            if key not in self._cache:
+                self._cache[key] = val
+                self._cache_bytes += val.nbytes
+                while (self._cache_bytes > self._cache_budget
+                       and len(self._cache) > 1):
+                    _, old = self._cache.popitem(last=False)
+                    self._cache_bytes -= old.nbytes
+        return val
+
+    def _load_sample(self, r: InstanceRecord, bg_path: Optional[str]) -> dict:
+        """Pure IO/decode for one sample — no RNG; safe to run in parallel
+        worker threads (cv2 decode/resize release the GIL). Each FILE is
+        cached independently so instances sharing an rgb frame share one
+        decoded copy."""
+        import cv2
+        out = {}
+
+        def load_rgb():
             img = load_image(r.rgb_path)
             if img.shape[0] != self.im_h or img.shape[1] != self.im_w:
-                import cv2
                 img = cv2.resize(img, (self.im_w, self.im_h))
-            images.append(img)
-            if self.with_depth:
-                # depth in meters (reference data_loader.py:345-349)
+            return img
+
+        out["image"] = self._cached(r.rgb_path, load_rgb)
+        if self.with_depth:
+            # depth in meters (reference data_loader.py:345-349)
+            def load_d():
                 if r.depth_path:
                     d = load_depth(r.depth_path, r.depth_scale, 1000.0)
                 else:
                     d = np.zeros((self.im_h, self.im_w), np.float32)
                 if d.shape != (self.im_h, self.im_w):
-                    import cv2
                     d = cv2.resize(d, (self.im_w, self.im_h),
                                    interpolation=cv2.INTER_NEAREST)
-                depths.append(d)
-            mv = (load_mask(r.mask_visib_path) if r.mask_visib_path
-                  else np.ones((self.im_h, self.im_w), np.float32))
-            mf = (load_mask(r.mask_full_path) if r.mask_full_path else mv)
-            if mv.shape != (self.im_h, self.im_w):
-                import cv2
-                mv = cv2.resize(mv, (self.im_w, self.im_h),
-                                interpolation=cv2.INTER_NEAREST)
-                mf = cv2.resize(mf, (self.im_w, self.im_h),
-                                interpolation=cv2.INTER_NEAREST)
-            mvs.append(mv)
-            mfs.append(mf)
-            boxes.append(self._select_bbox(r))
-            labels.append(r.label)
-            rots.append(r.pose[:, :3])
-            transes.append(r.pose[:, 3])
-            Ks.append(r.K)
-        boxes = np.stack(boxes)
+                return d
+            out["depth"] = self._cached(r.depth_path or f"zd:{r.rgb_path}",
+                                        load_d)
+
+        def load_m(path):
+            def fn():
+                m = (load_mask(path) if path
+                     else np.ones((self.im_h, self.im_w), np.float32))
+                if m.shape != (self.im_h, self.im_w):
+                    m = cv2.resize(m, (self.im_w, self.im_h),
+                                   interpolation=cv2.INTER_NEAREST)
+                return m
+            return self._cached(path or f"ones:{self.im_w}x{self.im_h}", fn)
+
+        out["mask_visib"] = load_m(r.mask_visib_path)
+        out["mask_full"] = (load_m(r.mask_full_path) if r.mask_full_path
+                            else out["mask_visib"])
+        if bg_path is not None:
+            out["bg"] = self._cached(f"bg:{bg_path}",
+                                     lambda: self._load_bg(bg_path))
+        return out
+
+    def _build_batch(self, rng) -> dict:
+        B = self.batch_size
+        # --- sequential RNG phase: every random decision happens here, so
+        # batch content is a pure function of the rng stream no matter how
+        # many decode workers run below -------------------------------------
+        recs = [self._pick_record(rng) for _ in range(B)]
+        bg_sel = (None if self._bg_paths is None else
+                  [self._bg_paths[rng.randint(len(self._bg_paths))]
+                   for _ in range(B)])
+        trunc_draws = (rng.uniform(size=(B, 2))
+                       if (self._bg_paths is not None and self.truncate_fg)
+                       else None)
+
+        # --- parallel IO/decode phase ---------------------------------------
+        if self._pool is not None:
+            samples = list(self._pool.map(
+                self._load_sample, recs,
+                bg_sel if bg_sel is not None else [None] * B))
+        else:
+            samples = [self._load_sample(r, b) for r, b in
+                       zip(recs, bg_sel if bg_sel is not None else [None] * B)]
+
+        boxes = np.stack([self._select_bbox(r) for r in recs])
         centers, scales = dzi_jitter_host(
-            self.rng, boxes, self.im_w, self.im_h,
+            rng, boxes, self.im_w, self.im_h,
             pad_scale=self.dzi["pad_scale"],
             scale_ratio=self.dzi["scale_ratio"],
             shift_ratio=self.dzi["shift_ratio"],
             dzi_type=self.dzi["dzi_type"])
+        mvs = [s["mask_visib"] for s in samples]
         out = {
-            "images": np.stack(images),
+            "images": np.stack([s["image"] for s in samples]),
             "img_idx": np.arange(B, dtype=np.int32),
             "centers": centers,
             "scales": scales,
             "bboxes_xyxy": boxes,
-            "Ks": np.stack(Ks).astype(np.float32),
-            "labels": np.asarray(labels, np.int32),
-            "gt_rots": np.stack(rots).astype(np.float32),
-            "gt_transes": np.stack(transes).astype(np.float32),
+            "Ks": np.stack([r.K for r in recs]).astype(np.float32),
+            "labels": np.asarray([r.label for r in recs], np.int32),
+            "gt_rots": np.stack([r.pose[:, :3] for r in recs]).astype(np.float32),
+            "gt_transes": np.stack([r.pose[:, 3] for r in recs]).astype(np.float32),
             "mask_visib": np.stack(mvs),
-            "mask_full": np.stack(mfs),
+            "mask_full": np.stack([s["mask_full"] for s in samples]),
             "mask_idx": np.arange(B, dtype=np.int32),
         }
         if self.with_depth:
-            out["depths"] = np.stack(depths)
+            out["depths"] = np.stack([s["depth"] for s in samples])
         if self._bg_paths is not None:
-            out["bg_images"] = np.stack(
-                [self._load_bg() for _ in range(B)])
+            out["bg_images"] = np.stack([s["bg"] for s in samples])
             if self.truncate_fg:
                 out["fg_masks"] = np.stack(
-                    [self._trunc_mask(m) for m in mvs])
+                    [self._trunc_mask(m, d) for m, d in
+                     zip(mvs, trunc_draws)])
             else:
                 out["fg_masks"] = out["mask_visib"]
         return out
 
-    def _load_bg(self) -> np.ndarray:
-        """One random background, aspect-preserving center-crop + resize
+    def _load_bg(self, path: str) -> np.ndarray:
+        """One background, aspect-preserving center-crop + resize
         (reference get_bg_image keeps aspect, base_data_loader.py:480-520)."""
         import cv2
-        path = self._bg_paths[self.rng.randint(len(self._bg_paths))]
         try:
             img = load_image(path)
         except FileNotFoundError:
@@ -204,9 +291,11 @@ class GdrnTrainLoader:
             img = img[y0:y0 + ch]
         return cv2.resize(img, (self.im_w, self.im_h))
 
-    def _trunc_mask(self, mask: np.ndarray) -> np.ndarray:
+    def _trunc_mask(self, mask: np.ndarray, draws: np.ndarray) -> np.ndarray:
         """Randomly block one side of the foreground bbox (reference
-        trunc_mask, base_data_loader.py:454-478)."""
+        trunc_mask, base_data_loader.py:454-478). draws: two pre-drawn
+        uniforms (branch selector, cut position) so the data-dependent cut
+        stays a pure function of (mask, draws)."""
         m = mask.astype(bool).copy()
         nz = np.nonzero(m)
         if len(nz[0]) == 0:
@@ -215,21 +304,21 @@ class GdrnTrainLoader:
         x2, y2 = np.max(nz[0]), np.max(nz[1])
         c_h = 0.5 * (x1 + x2)
         c_w = 0.5 * (y1 + y2)
-        rnd = self.rng.uniform()
+        rnd, u = float(draws[0]), float(draws[1])
         if rnd < 0.2:
-            m[:int(self.rng.uniform(x1, c_h)), :] = False
+            m[:int(x1 + u * (c_h - x1)), :] = False
         elif rnd < 0.4:
-            m[int(self.rng.uniform(c_h, x2)):, :] = False
+            m[int(c_h + u * (x2 - c_h)):, :] = False
         elif rnd < 0.6:
-            m[:, :int(self.rng.uniform(y1, c_w))] = False
+            m[:, :int(y1 + u * (c_w - y1))] = False
         elif rnd < 0.8:
-            m[:, int(self.rng.uniform(c_w, y2)):] = False
+            m[:, int(c_w + u * (y2 - c_w)):] = False
         return m.astype(np.float32)
 
-    def _worker(self):
+    def _worker(self, rng):
         while not self._stop.is_set():
             try:
-                batch = self._build_batch()
+                batch = self._build_batch(rng)
             except Exception as e:  # surface loader errors to the consumer
                 self._queue.put(e)
                 return
@@ -246,8 +335,20 @@ class GdrnTrainLoader:
 
     def close(self):
         self._stop.set()
+        # drain so builders blocked on queue.put can observe the stop flag,
+        # then join so no thread is still reading files during teardown
         try:
             while True:
                 self._queue.get_nowait()
         except queue_mod.Empty:
             pass
+        for th in self._threads:
+            while th.is_alive():
+                try:
+                    while True:
+                        self._queue.get_nowait()
+                except queue_mod.Empty:
+                    pass
+                th.join(timeout=0.2)
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)

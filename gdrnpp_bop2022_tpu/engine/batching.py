@@ -273,10 +273,23 @@ def dzi_jitter_host(rng, bboxes_xyxy, im_w, im_h,
                     pad_scale=1.5, scale_ratio=0.25, shift_ratio=0.25,
                     dzi_type="uniform"):
     """Host-side DZI (dynamic zoom-in) bbox jitter
-    (reference: core/base_data_loader.py:188-231 'uniform' branch):
-      center += uniform(-shift, shift) * (bw, bh)
-      scale = max(bw, bh) * (1 + uniform(-r, r)) * pad_scale, clipped.
-    numpy RNG on purpose: cheap scalar work, keeps device code shape-static.
+    (reference: core/base_data_loader.py aug_bbox_DZI :188-231):
+      uniform:   center += uniform(-shift, shift) * (bw, bh);
+                 scale = max(bw, bh) * (1 + uniform(-r, r)) * pad_scale
+      roi10d:    each box corner shifted by uniform(-0.15, 0.15) of the side,
+                 clipped to the image; scale = max side * pad_scale. (The
+                 reference's roi10d branch has a transcription slip —
+                 `x2 = min(max(x1, 0), im_W)` clamps x2 to x1 — we implement
+                 the evident intent of jittering all four corners.)
+      truncnorm: reference declares it but raises NotImplementedError
+                 (base_data_loader.py:227); here it is implemented as the
+                 natural reading — uniform's formula with the jitters drawn
+                 from a +-2-sigma truncated normal (sigma = ratio/2) so
+                 draws concentrate near the unjittered box.
+      none:      center/scale of the box, NO pad_scale (reference else
+                 branch :229-230 applies no padding).
+    All scales are clipped to max(im_w, im_h). numpy RNG on purpose: cheap
+    scalar work, keeps device code shape-static.
     """
     import numpy as np
     b = np.asarray(bboxes_xyxy, np.float32)
@@ -285,16 +298,38 @@ def dzi_jitter_host(rng, bboxes_xyxy, im_w, im_h,
     cx = (b[:, 0] + b[:, 2]) * 0.5
     cy = (b[:, 1] + b[:, 3]) * 0.5
     n = len(b)
-    if dzi_type == "uniform":
-        scale_jit = 1.0 + scale_ratio * rng.uniform(-1, 1, n)
-        shift_x = shift_ratio * rng.uniform(-1, 1, n)
-        shift_y = shift_ratio * rng.uniform(-1, 1, n)
+
+    def trunc_std_normal(size, lo=-2.0, hi=2.0):
+        # rejection-sampled standard normal truncated to [lo, hi]
+        out = rng.randn(*((size,) if np.isscalar(size) else size))
+        bad = (out < lo) | (out > hi)
+        while bad.any():
+            out[bad] = rng.randn(int(bad.sum()))
+            bad = (out < lo) | (out > hi)
+        return out
+
+    if dzi_type in ("uniform", "truncnorm"):
+        if dzi_type == "uniform":
+            scale_jit = 1.0 + scale_ratio * rng.uniform(-1, 1, n)
+            shift_x = shift_ratio * rng.uniform(-1, 1, n)
+            shift_y = shift_ratio * rng.uniform(-1, 1, n)
+        else:
+            scale_jit = 1.0 + (scale_ratio / 2.0) * trunc_std_normal(n)
+            shift_x = (shift_ratio / 2.0) * trunc_std_normal(n)
+            shift_y = (shift_ratio / 2.0) * trunc_std_normal(n)
+        centers = np.stack([cx + shift_x * bw, cy + shift_y * bh], axis=-1)
+        scales = np.maximum(bw, bh) * scale_jit * pad_scale
+    elif dzi_type == "roi10d":
+        x1 = np.clip(b[:, 0] + bw * rng.uniform(-0.15, 0.15, n), 0, im_w)
+        x2 = np.clip(b[:, 2] + bw * rng.uniform(-0.15, 0.15, n), 0, im_w)
+        y1 = np.clip(b[:, 1] + bh * rng.uniform(-0.15, 0.15, n), 0, im_h)
+        y2 = np.clip(b[:, 3] + bh * rng.uniform(-0.15, 0.15, n), 0, im_h)
+        centers = np.stack([(x1 + x2) * 0.5, (y1 + y2) * 0.5], axis=-1)
+        scales = np.maximum(np.maximum(y2 - y1, x2 - x1), 1.0) * pad_scale
     elif dzi_type == "none":
-        scale_jit = np.ones(n)
-        shift_x = shift_y = np.zeros(n)
+        centers = np.stack([cx, cy], axis=-1)
+        scales = np.maximum(bw, bh)
     else:
         raise ValueError(dzi_type)
-    centers = np.stack([cx + shift_x * bw, cy + shift_y * bh], axis=-1)
-    scales = np.minimum(np.maximum(bw, bh) * scale_jit * pad_scale,
-                        float(max(im_w, im_h)))
+    scales = np.minimum(scales, float(max(im_w, im_h)))
     return centers.astype(np.float32), scales.astype(np.float32)

@@ -10,6 +10,7 @@ GDRN compute, normalized per image to the max over its instances
 from __future__ import annotations
 
 import time
+from collections import deque
 from typing import Callable, Dict, Iterable, List, Optional
 
 import jax
@@ -17,6 +18,32 @@ import jax.numpy as jnp
 import numpy as np
 
 from .batching import build_test_batch
+
+
+def decode_dense_outputs(out: dict, mask_loss_type: str = "L1"):
+    """Dense geo-head outputs -> (xyz (B,H,W,3) in [0,1], mask_prob (B,H,W)).
+
+    Handles both regression coords (channel dim 1) and binned coords
+    (argmax bin / (bins-1), background bin -> 0 — reference get_out_coor,
+    engine_utils.py:295-312). Shared by the inference driver and the demo's
+    depth-refine path.
+    """
+    from ..models.gdrn import get_mask_prob
+
+    def decode_coor(c):
+        if c.shape[-1] == 1:
+            return c[..., 0]
+        n_bins = c.shape[-1] - 1
+        idx = jnp.argmax(c, axis=-1)
+        val = idx.astype(jnp.float32) / max(n_bins - 1, 1)
+        return jnp.where(idx == n_bins, 0.0, val)
+
+    xyz = jnp.stack([decode_coor(out["coor_x"]),
+                     decode_coor(out["coor_y"]),
+                     decode_coor(out["coor_z"])], axis=-1)
+    mask_prob = get_mask_prob(out["vis_mask"][..., None],
+                              mask_loss_type)[..., 0]
+    return xyz, mask_prob
 
 
 def run_gdrn_inference(
@@ -39,6 +66,12 @@ def run_gdrn_inference(
     mesh=None,                       # jax.sharding.Mesh: shard eval over the
                                      # data axis (reference distributes eval
                                      # via DDP ranks, my_comm.py:70-173)
+    stats: Optional[dict] = None,    # out-param: filled with serving stats
+                                     # (n_instances, n_batches, compute_s,
+                                     # rois_per_sec, compiles)
+    pipeline_depth: int = 1,         # >1: keep this many batches in flight
+                                     # (host loads batch k+1 while the
+                                     # device runs batch k)
 ) -> List[dict]:
     """Run pose inference over all test batches; returns BOP result rows
     (R (3,3), t in meters — CSV conversion to mm happens at save time).
@@ -48,6 +81,12 @@ def run_gdrn_inference(
     PnP modes re-solve the pose from the dense XYZ prediction; depth_refine
     corrects translation against the sensor depth (batches must carry
     "depths": (M, H, W) meters).
+
+    pipeline_depth=1 preserves the reference's per-batch timing semantics
+    (each CSV row carries its own batch's measured compute). pipeline_depth
+    > 1 is the serving mode: dispatches run asynchronously so host IO and
+    device compute overlap, and row times carry the amortized wall-clock
+    per ROI (still excluding jit compilation via the warmup pass).
     """
     extents = jnp.asarray(extents_bank)
     mean = tuple(pixel_mean)
@@ -75,23 +114,7 @@ def run_gdrn_inference(
         out = model_apply(params, batch)
         rot, trans = out["rot"], out["trans"]
         if want_dense:
-            from ..models.gdrn import get_mask_prob
-
-            def decode_coor(c):
-                # binned coords -> argmax bin / (bins-1), bg bin -> 0
-                # (reference get_out_coor, engine_utils.py:295-312)
-                if c.shape[-1] == 1:
-                    return c[..., 0]
-                n_bins = c.shape[-1] - 1
-                idx = jnp.argmax(c, axis=-1)
-                val = idx.astype(jnp.float32) / max(n_bins - 1, 1)
-                return jnp.where(idx == n_bins, 0.0, val)
-
-            xyz = jnp.stack([decode_coor(out["coor_x"]),
-                             decode_coor(out["coor_y"]),
-                             decode_coor(out["coor_z"])], axis=-1)
-            mask_prob = get_mask_prob(out["vis_mask"][..., None],
-                                      mask_loss_type)[..., 0]
+            xyz, mask_prob = decode_dense_outputs(out, mask_loss_type)
             extra = {"xyz": xyz, "mask_prob": mask_prob,
                      "coord_2d": batch["roi_coord_2d"],
                      "centers": batch["roi_centers"],
@@ -145,14 +168,9 @@ def run_gdrn_inference(
     else:
         put_b = put_r = jnp.asarray
 
-    results = []
-    per_image_rows: Dict[tuple, list] = {}
-    n_instances = 0
-    total_compute = 0.0
-    warmed = False
-    rng = jax.random.PRNGKey(0)
-    for batch in batches:
-        t0 = time.perf_counter()
+    def dispatch(batch, key):
+        """One device pass: ROI prep + forward (+ optional post-processing).
+        Returns DEVICE (rot, trans) — async until fetched."""
         Ks_j = put_b(batch["Ks"])
         labels_j = put_b(batch["labels"])
         if with_depth_input:
@@ -170,21 +188,37 @@ def run_gdrn_inference(
             im_wh = jnp.broadcast_to(
                 jnp.asarray([im_w, im_h], jnp.float32),
                 (rot.shape[0], 2))
-            rng, k = jax.random.split(rng)
-            rot, trans = post_pnp(extra, Ks_j, labels_j, im_wh, rot, trans, k)
+            rot, trans = post_pnp(extra, Ks_j, labels_j, im_wh, rot, trans,
+                                  key)
         elif post_mode == "depth_refine":
             assert "depths" in batch, "test batches must carry depth images"
             trans = post_depth(extra, jnp.asarray(batch["depths"]),
                                jnp.asarray(batch["img_idx"]),
                                Ks_j, labels_j, rot, trans)
-        rot = np.asarray(jax.block_until_ready(rot))
-        trans = np.asarray(trans)
-        dt = time.perf_counter() - t0
-        if warmed:
-            total_compute += dt
-        warmed = True
+        return rot, trans
+
+    def run_batch(batch, key):
+        rot, trans = dispatch(batch, key)
+        return np.asarray(jax.block_until_ready(rot)), np.asarray(trans)
+
+    results = []
+    per_image_rows: Dict[tuple, list] = {}
+    n_instances = 0
+    n_batches = 0
+    total_compute = 0.0
+    warmed = False
+    amortize = pipeline_depth > 1
+    t_wall0 = None
+    inflight: deque = deque()
+    rng = jax.random.PRNGKey(0)
+
+    def emit(batch, rot, trans, dt):
+        """Materialize one batch's rows. dt: measured batch time (ignored
+        when amortizing — wall-clock is distributed after the loop)."""
+        nonlocal n_instances, n_batches
+        n_batches += 1
         n_valid = int(batch["valid"].sum())
-        per_roi_time = dt / max(n_valid, 1)
+        per_roi_time = 0.0 if amortize else dt / max(n_valid, 1)
         n_instances += n_valid
         for i in range(n_valid):
             m = batch["metas"][i]
@@ -198,12 +232,59 @@ def run_gdrn_inference(
             results.append(row)
             per_image_rows.setdefault(key, []).append(row)
 
+    for batch in batches:
+        rng, k = jax.random.split(rng)
+        if not warmed:
+            # warmup pass: absorbs jit compilation so no CSV row is ever
+            # stamped with compile time (reference warmup-aware protocol,
+            # gdrn_evaluator.py:697-802), then re-run timed below
+            run_batch(batch, k)
+            warmed = True
+            t_wall0 = time.perf_counter()
+        if amortize:
+            inflight.append((batch, dispatch(batch, k)))
+            while len(inflight) >= pipeline_depth:
+                b2, (r2, t2) = inflight.popleft()
+                emit(b2, np.asarray(jax.block_until_ready(r2)),
+                     np.asarray(t2), 0.0)
+        else:
+            t0 = time.perf_counter()
+            rot, trans = run_batch(batch, k)
+            dt = time.perf_counter() - t0
+            total_compute += dt
+            emit(batch, rot, trans, dt)
+    while inflight:
+        b2, (r2, t2) = inflight.popleft()
+        emit(b2, np.asarray(jax.block_until_ready(r2)), np.asarray(t2), 0.0)
+    if amortize and t_wall0 is not None:
+        total_compute = time.perf_counter() - t_wall0
+        per_roi = total_compute / max(n_instances, 1)
+        for row in results:
+            row["time"] += per_roi
+
     # normalize time per image to the max over its instances
     # (reference: gdrn_evaluator.py:598-610)
     for rows in per_image_rows.values():
         t_max = max(r["time"] for r in rows)
         for r in rows:
             r["time"] = t_max
+    if stats is not None:
+        compiles = 0
+        for fn in (step, post_pnp if post_mode in ("ransac_pnp",
+                                                   "uncertainty_pnp") else None,
+                   post_depth if post_mode == "depth_refine" else None):
+            if fn is not None:
+                try:
+                    compiles += fn._cache_size()
+                except Exception:
+                    pass
+        stats.update(
+            n_instances=n_instances,
+            n_batches=n_batches,
+            compute_s=total_compute,
+            rois_per_sec=(n_instances / total_compute
+                          if total_compute > 0 else float("nan")),
+            compiles=compiles)
     return results
 
 

@@ -121,7 +121,10 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
         truncate_fg=cfg.input.truncate_fg,
         with_depth=cfg.input.with_depth,
         sampler=cfg.datasets.sampler,
-        repeat_thresh=cfg.datasets.repeat_thresh)
+        repeat_thresh=cfg.datasets.repeat_thresh,
+        num_workers=cfg.train.num_workers,
+        num_builders=cfg.train.num_builders,
+        cache_gb=cfg.train.cache_gb)
 
     verts = jnp.asarray(model_bank.verts)
     faces = jnp.asarray(model_bank.faces)

@@ -52,7 +52,11 @@ class ConvBnAct(nn.Module):
                              param_dtype=jnp.float32)(
                                  x.astype(jnp.float32)).astype(orig)
         else:
-            x = nn.GroupNorm(num_groups=min(32, x.shape[-1]),
+            # largest divisor of C that is <= 32 (yolox_x widths like 80
+            # are not divisible by 32)
+            c = x.shape[-1]
+            g = next(g for g in range(min(32, c), 0, -1) if c % g == 0)
+            x = nn.GroupNorm(num_groups=g,
                              dtype=jnp.float32, param_dtype=jnp.float32)(
                                  x.astype(jnp.float32)).astype(orig)
         return nn.silu(x) if self.act else x

@@ -55,60 +55,72 @@ def build_yolox(num_classes: int, size: str = "yolox_x",
                  dtype=dtype)
 
 
+def make_tta_inference(model, scales=(0.75, 1.0, 1.25), flip: bool = True,
+                       conf_thr: float = 0.01, nms_thr: float = 0.65,
+                       max_dets: int = 100, strides=(8, 16, 32)):
+    """Build a JITTED test-time-augmentation inference function
+    (reference: det/yolox/models/yolox.py:53 TTA path).
+
+    Returns run(params, image) for (B, H, W, 3) images. Each (scale, flip)
+    variant is ONE compiled program (resize -> forward -> decode -> map back
+    to base resolution); the joint NMS over all variants is a second
+    compiled program. Total compiles: len(scales)*(1+flip) + 1 per image
+    shape — then pure device execution (the round-2 version ran the
+    per-scale forwards eagerly, pathological through the device tunnel).
+    """
+    from .head import flatten_outputs, decode_outputs
+
+    @partial(jax.jit, static_argnames=("h", "w", "flipped"))
+    def scale_pass(params, image, h, w, flipped):
+        """One TTA variant -> re-encoded flat outputs at base resolution.
+
+        Output rows decode with grids=0/stride=1: xy raw = absolute base-res
+        center, wh raw = log of base-res size — so all variants share one
+        decode in the joint NMS.
+        """
+        B, H, W = image.shape[0], image.shape[1], image.shape[2]
+        img_s = jax.image.resize(image, (B, h, w, 3), method="bilinear")
+        if flipped:
+            img_s = img_s[:, :, ::-1]
+        outs = model.apply({"params": params}, img_s)
+        flat, grids, st = flatten_outputs(outs, strides)
+        boxes, _, _ = decode_outputs(flat, grids, st)
+        x = boxes[..., 0]
+        if flipped:
+            x = w - x
+        xy = jnp.stack([x * (W / w), boxes[..., 1] * (H / h)], axis=-1)
+        wh = boxes[..., 2:4] * jnp.asarray([W / w, H / h])
+        return jnp.concatenate(
+            [xy, jnp.log(jnp.maximum(wh, 1e-6)), flat[..., 4:]], axis=-1)
+
+    def run(params, image: jax.Array):
+        H, W = image.shape[1:3]
+        parts = []
+        for s in scales:
+            h = int(round(H * s / 32)) * 32
+            w = int(round(W * s / 32)) * 32
+            parts.append(scale_pass(params, image, h, w, False))
+            if flip:
+                parts.append(scale_pass(params, image, h, w, True))
+        flat = jnp.concatenate(parts, axis=1)
+        A = flat.shape[1]
+        grids = jnp.zeros((A, 2), jnp.float32)
+        st = jnp.ones((A,), jnp.float32)
+        return postprocess_nms(flat, grids, st, conf_thr=conf_thr,
+                               nms_thr=nms_thr, max_dets=max_dets)
+
+    return run
+
+
 def tta_inference(model, params, image: jax.Array,
                   scales=(0.75, 1.0, 1.25), flip: bool = True,
                   conf_thr: float = 0.01, nms_thr: float = 0.65,
                   max_dets: int = 100, strides=(8, 16, 32)):
-    """Test-time augmentation: multi-scale (+ horizontal flip) inference
-    with merged NMS (reference: yolox.py:53 TTA path).
-
-    image: (1, H, W, 3). Each scale is a separate compile (static shapes);
-    detections are mapped back to the base resolution and NMS'd jointly.
-    """
-    from .head import flatten_outputs, decode_outputs
-    H, W = image.shape[1:3]
-    all_flat, all_grids, all_strides = [], [], []
-    for s in scales:
-        h = int(round(H * s / 32)) * 32
-        w = int(round(W * s / 32)) * 32
-        img_s = jax.image.resize(image, (1, h, w, 3), method="bilinear")
-        variants = [(img_s, False)]
-        if flip:
-            variants.append((img_s[:, :, ::-1], True))
-        for img_v, flipped in variants:
-            outs = model.apply({"params": params}, img_v)
-            flat, grids, st = flatten_outputs(outs, strides)
-            # map grid coords back to base resolution
-            gx = grids[:, 0]
-            if flipped:
-                # decoded x = (px + gx)*st; flip: x' = w - x. Decode, flip,
-                # re-encode into the raw offset for joint processing
-                boxes, obj, cls = decode_outputs(flat, grids, st)
-                x_f = (w - boxes[..., 0]) * (W / w)
-                y_f = boxes[..., 1] * (H / h)
-                wh_f = boxes[..., 2:4] * jnp.asarray([W / w, H / h])
-                flat_adj = jnp.concatenate(
-                    [x_f[..., None], y_f[..., None],
-                     jnp.log(jnp.maximum(wh_f, 1e-6)),
-                     flat[..., 4:]], axis=-1)
-                all_flat.append(flat_adj)
-                all_grids.append(jnp.zeros_like(grids))
-                all_strides.append(jnp.ones_like(st))
-            else:
-                boxes, obj, cls = decode_outputs(flat, grids, st)
-                xy = boxes[..., :2] * jnp.asarray([W / w, H / h])
-                wh = boxes[..., 2:4] * jnp.asarray([W / w, H / h])
-                flat_adj = jnp.concatenate(
-                    [xy, jnp.log(jnp.maximum(wh, 1e-6)), flat[..., 4:]],
-                    axis=-1)
-                all_flat.append(flat_adj)
-                all_grids.append(jnp.zeros_like(grids))
-                all_strides.append(jnp.ones_like(st))
-    flat = jnp.concatenate(all_flat, axis=1)
-    grids = jnp.concatenate(all_grids, axis=0)
-    st = jnp.concatenate(all_strides, axis=0)
-    return postprocess_nms(flat, grids, st, conf_thr=conf_thr,
-                           nms_thr=nms_thr, max_dets=max_dets)
+    """One-shot TTA convenience wrapper over make_tta_inference."""
+    run = make_tta_inference(model, scales=scales, flip=flip,
+                             conf_thr=conf_thr, nms_thr=nms_thr,
+                             max_dets=max_dets, strides=strides)
+    return run(params, image)
 
 
 @partial(jax.jit, static_argnames=("max_dets",))

@@ -78,7 +78,8 @@ def madgrad(learning_rate, momentum=0.9, eps=1e-6,
         count = state.count + 1
         k = (count - 1).astype(jnp.float32)
         lr = learning_rate(count - 1) if callable(learning_rate) else learning_rate
-        lamb = lr * jnp.sqrt(k + 1.0)
+        # the reference perturbs the lr by eps (madgrad.py step: lr + eps)
+        lamb = (lr + eps) * jnp.sqrt(k + 1.0)
 
         if weight_decay:
             updates = jax.tree.map(lambda g, p: g + weight_decay * p,

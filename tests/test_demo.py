@@ -72,3 +72,36 @@ def test_demo_folder_mode(tmp_path):
     assert len(outs) == 2, proc.stdout
     img = cv2.imread(str(out / outs[0]))
     assert img is not None and img.shape == (120, 160, 3)
+
+
+def test_demo_depth_refine(tmp_path):
+    """RGB-D demo source + --depth-refine (reference
+    demo/predictor_gdrn.py:195 depth-refined postprocessing)."""
+    root = tmp_path / "BOP"
+    s = build_synth_bop(root / "synthd", split="test", n_images=2, seed=41)
+    cfg_path = tmp_path / "demo_cfg.py"
+    cfg_path.write_text(CFG.format(repo=REPO, K=K.ravel().tolist(),
+                                   root=str(root)))
+    raw = json.load(open(s["det_file"]))
+    dets = {}
+    for key, v in raw.items():
+        im_id = int(key.split("/")[1])
+        dets[f"{im_id:06d}"] = v
+    det_path = tmp_path / "dets.json"
+    det_path.write_text(json.dumps(dets))
+
+    scene = os.path.join(str(root / "synthd"), "test", "000001")
+    out = tmp_path / "demo_out"
+    env = dict(os.environ)
+    env["GDRN_PLATFORM"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "demo_gdrn.py"),
+         "--config", str(cfg_path), "--images", f"{scene}/rgb/*.png",
+         "--dets", str(det_path), "--out", str(out),
+         "--depth-refine", "--depth-images", f"{scene}/depth/*.png",
+         # synth depth pngs store depth*10000 (depth_scale 0.1 over mm)
+         "--depth-scale", "10000"],
+        env=env, capture_output=True, text=True, timeout=560)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    outs = sorted(os.listdir(out))
+    assert len(outs) == 2, proc.stdout

@@ -121,6 +121,20 @@ def test_nms_suppresses_duplicates():
     assert set(labels[kept].tolist()) == {0, 1}
 
 
+def test_yolox_x_gn_init():
+    """yolox_x widths (e.g. stem 64*1.25=80) are not divisible by 32 — the
+    GN group count must adapt (regression: GN yolox_x failed to init)."""
+    from gdrnpp_bop2022_tpu.models.yolox import build_yolox
+    model = build_yolox(3, "yolox_x")
+    x = jnp.zeros((1, 64, 64, 3))
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x))["params"]
+    stem = params["pafpn"]["backbone"]["stem"]
+    assert stem["Conv_0"]["kernel"].shape[-1] == 80
+    gn_scale = stem["GroupNorm_0"]["scale"]
+    assert gn_scale.shape == (80,)
+
+
 def test_tta_multiscale_inference():
     from gdrnpp_bop2022_tpu.models.yolox.yolox import tta_inference
     model = _tiny_model()

@@ -106,11 +106,26 @@ def main():
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--out", default="demo_out")
     ap.add_argument("--cam-K", nargs=9, type=float, default=None)
+    ap.add_argument("--depth-refine", action="store_true",
+                    help="refine translations against sensor depth "
+                         "(reference demo/predictor_gdrn.py:195 "
+                         "postprocessing with depth_refine)")
+    ap.add_argument("--depth-images", nargs="+", default=None,
+                    help="depth files (sorted, paired 1:1 with --images "
+                         "order); RGB-D demo source")
+    ap.add_argument("--depth-scale", type=float, default=1000.0,
+                    help="divide raw depth by this for meters "
+                         "(BOP uint16 mm pngs -> 1000)")
+    ap.add_argument("--depth-refine-iters", type=int, default=2)
+    ap.add_argument("--depth-refine-threshold", type=float, default=0.8)
     args = ap.parse_args()
     assert args.images or args.camera is not None, \
         "need --images or --camera"
     assert args.dets or args.yolox_ckpt, \
         "need --dets json or --yolox-ckpt for inline detection"
+    if args.depth_refine:
+        assert args.depth_images, "--depth-refine needs --depth-images"
+        assert args.camera is None, "--depth-refine needs file input"
 
     import numpy as np
     import jax
@@ -144,10 +159,15 @@ def main():
                              args.yolox_ckpt, args.conf_thr, args.nms_thr)
               if dets_map is None else None)
 
+    depth_paths = None
+    if args.depth_images:
+        depth_paths = sorted(sum((glob.glob(p) for p in args.depth_images), []))
+        assert depth_paths, "no depth images matched"
+
     params = None
     os.makedirs(args.out, exist_ok=True)
     obj2label = meta.obj_id_to_label()
-    for name, img in iter_frames(args):
+    for frame_i, (name, img) in enumerate(iter_frames(args)):
         if dets_map is not None:
             key = os.path.splitext(name)[0]
             dets = None
@@ -196,6 +216,36 @@ def main():
         out = model.apply({"params": params}, **batch)
         R = np.asarray(out["rot"])
         t = np.asarray(out["trans"])
+        if args.depth_refine:
+            # reference demo: optional depth refinement of the translation
+            # (demo/predictor_gdrn.py:195 -> process_depth_refine)
+            from gdrnpp_bop2022_tpu.datasets.bop_data import load_depth
+            from gdrnpp_bop2022_tpu.engine.inference import decode_dense_outputs
+            from gdrnpp_bop2022_tpu.eval.pnp_eval import depth_refine_batch
+            from gdrnpp_bop2022_tpu.ops.crop import roi_crop_resize
+            assert frame_i < len(depth_paths), \
+                f"no depth image for frame {frame_i} ({name})"
+            depth = load_depth(depth_paths[frame_i], 1.0, args.depth_scale)
+            assert depth.shape == img.shape[:2], \
+                f"depth {depth.shape} vs rgb {img.shape[:2]}"
+            xyz, mask_prob = decode_dense_outputs(
+                out, cfg.model.pose_net.loss.mask_loss_type)
+            scales = pc.output_res / batch["resize_ratios"]
+            d_crop = roi_crop_resize(
+                jnp.broadcast_to(jnp.asarray(depth)[None, ..., None],
+                                 (B,) + depth.shape + (1,)),
+                batch["roi_centers"], scales, pc.output_res,
+                method="nearest")[..., 0]
+            t_ref = depth_refine_batch(
+                out["rot"], out["trans"], mask_prob, xyz, d_crop,
+                batch["roi_cams"], batch["roi_centers"], scales,
+                jnp.asarray(bank.verts)[np.asarray(labels)],
+                jnp.asarray(bank.faces)[np.asarray(labels)],
+                batch["roi_extents"],
+                iters=args.depth_refine_iters,
+                threshold=args.depth_refine_threshold,
+                out_res=pc.output_res)
+            t = np.asarray(t_ref)
         vis = np.ascontiguousarray(img)
         for i, lab in enumerate(np.asarray(labels)):
             vis = draw_pose_bbox(vis, K, R[i], t[i], bank.extents[int(lab)],

@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--root", default="datasets/BOP_DATASETS")
     ap.add_argument("--split", default="test")
     ap.add_argument("--no-vsd", action="store_true")
-    ap.add_argument("--vsd-mode", default="auto",
+    ap.add_argument("--vsd-mode", default="full",
                     choices=["auto", "window", "full"],
                     help="full = strict BOP-toolkit-equivalent rendering")
     args = ap.parse_args()

@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--conf-thr", type=float, default=0.01)
     ap.add_argument("--nms-thr", type=float, default=0.65)
+    ap.add_argument("--tta", action="store_true",
+                    help="multi-scale + horizontal-flip test-time "
+                         "augmentation with merged NMS (reference "
+                         "det/yolox/models/yolox.py:53)")
+    ap.add_argument("--tta-scales", default="0.75,1.0,1.25",
+                    help="comma-separated TTA scale factors")
     ap.add_argument("--meta-from-config", default=None,
                     help="config .py to exec first (registers custom "
                          "dataset metadata, e.g. synthetic sweeps)")
@@ -101,12 +107,18 @@ def main():
         assert restored is not None
         params = restored.ema_params
 
-    @jax.jit
-    def infer(params, img):
-        outs = model.apply({"params": params}, img)
-        flat, grids, st = flatten_outputs(outs, (8, 16, 32))
-        return postprocess_nms(flat, grids, st, conf_thr=args.conf_thr,
-                               nms_thr=args.nms_thr)
+    if args.tta:
+        from gdrnpp_bop2022_tpu.models.yolox.yolox import make_tta_inference
+        infer = make_tta_inference(
+            model, scales=tuple(float(s) for s in args.tta_scales.split(",")),
+            flip=True, conf_thr=args.conf_thr, nms_thr=args.nms_thr)
+    else:
+        @jax.jit
+        def infer(params, img):
+            outs = model.apply({"params": params}, img)
+            flat, grids, st = flatten_outputs(outs, (8, 16, 32))
+            return postprocess_nms(flat, grids, st, conf_thr=args.conf_thr,
+                                   nms_thr=args.nms_thr)
 
     import cv2
     per_image, scales, gts, dets_eval = {}, {}, {}, {}
