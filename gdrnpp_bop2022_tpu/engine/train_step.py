@@ -71,7 +71,10 @@ def make_train_step(cfg, sym_bank=None, sym_mask=None):
             outputs["trans"] - batch["gt_trans"], axis=-1)) * 100.0
         return total, metrics
 
-    @jax.jit
+    # donate_argnums=(0,): the old TrainState's buffers are reused for the
+    # new one, halving the params+opt-state residency during the update
+    # (callers rebind `state = step(state, ...)`; on CPU donation is a no-op)
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict, rng: jax.Array,
                    progress: jax.Array):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

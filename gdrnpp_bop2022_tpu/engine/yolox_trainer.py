@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -49,7 +50,9 @@ def make_yolox_train_step(model, strides=(8, 16, 32), use_l1=False,
     """with_batch_stats: thread BatchNorm running stats (norm="BN" models)
     through the step — forward runs with mutable batch_stats and the
     updated stats land back in the TrainState."""
-    @jax.jit
+    # donated state: optimizer/param buffers are updated in place (callers
+    # rebind `state = step(state, ...)`; donation is ignored on CPU)
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, rng):
         imgs = batch["images"].astype(jnp.float32)
 
@@ -125,6 +128,14 @@ def train_yolox(records, num_classes: int, output_dir: str,
                 size: str = "yolox_x", input_size: int = 640,
                 batch_size: int = 16, total_iters: int = 1000,
                 base_lr: float = 0.01 / 64, weight_decay: float = 5e-4,
+                optimizer: str = "sgd",      # sgd | ranger (BOP'22 recipes:
+                                             # Ranger lr 1e-3@bs64, wd 0 —
+                                             # configs/yolox/bop_pbr/*:66-76)
+                warmup_iters: Optional[int] = None,
+                grad_clip: float = 35.0,
+                aug: Optional[dict] = None,  # extra YoloxTrainLoader kwargs
+                                             # (degrees, translate, shear,
+                                             # mosaic_scale, mixup_scale, ...)
                 no_aug_iters: int = 0, mesh_shape=(-1,),
                 log_period: int = 20, ckpt_period: int = 500,
                 seed: int = 0, loader=None,
@@ -152,18 +163,32 @@ def train_yolox(records, num_classes: int, output_dir: str,
 
     model = build_yolox(num_classes, size, norm=norm)
     if loader is None:
-        loader = YoloxTrainLoader(records, batch_size, input_size, seed=seed)
+        loader = YoloxTrainLoader(records, batch_size, input_size, seed=seed,
+                                  **(aug or {}))
     if mosaic_prob is not None:
         loader.mosaic_prob = mosaic_prob
     if mixup_prob is not None:
         loader.mixup_prob = mixup_prob
 
-    sched = yolox_warmcos_schedule(base_lr * batch_size, total_iters,
-                                   warmup_iters=min(500, total_iters // 10))
-    tx = optax.chain(
-        optax.clip_by_global_norm(35.0),
-        optax.sgd(sched, momentum=0.9, nesterov=True),
-    )
+    sched = yolox_warmcos_schedule(
+        base_lr * batch_size, total_iters,
+        warmup_iters=(min(500, total_iters // 10) if warmup_iters is None
+                      else min(warmup_iters, total_iters)))
+    if optimizer == "ranger":
+        from ..solver.ranger import ranger
+        opt = ranger(sched, weight_decay=weight_decay)
+    elif optimizer == "sgd":
+        # torch-SGD-style coupled weight decay, masked off norm scales and
+        # biases (reference get_default_optimizer_params with
+        # weight_decay_norm=0, weight_decay_bias=0 — yolox_base.py:118-127)
+        wd_mask = lambda params: jax.tree.map(lambda p: p.ndim > 1, params)
+        opt = optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=wd_mask)
+            if weight_decay else optax.identity(),
+            optax.sgd(sched, momentum=0.9, nesterov=True))
+    else:
+        raise ValueError(f"unknown yolox optimizer {optimizer}")
+    tx = optax.chain(optax.clip_by_global_norm(grad_clip), opt)
 
     host = next(iter(loader))
     variables = model.init(jax.random.PRNGKey(seed),

@@ -94,6 +94,41 @@ class _DwConvParams(nn.Module):
         return kernel, bias
 
 
+def _dense_int8(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """Dynamic-quantized int8 matmul for serving: per-output-channel weight
+    scales, per-tensor activation scale, int8xint8->int32 on the MXU
+    (v5e's int8 path has 2x the bf16 peak). Quantization runs inline on
+    device — O(Cin*Cout) element ops vs the O(B*P*Cin*Cout) matmul, so the
+    overhead is noise; weights are jit arguments, so there is no stale
+    cache to manage."""
+    w_s = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0   # (Cout,)
+    wq = jnp.round(w / w_s).astype(jnp.int8)
+    x32 = x.astype(jnp.float32)
+    x_s = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-8) / 127.0
+    xq = jnp.round(x32 / x_s).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * (x_s * w_s)
+            + b.astype(jnp.float32)).astype(x.dtype)
+
+
+class _MlpParams(nn.Module):
+    """Declares exactly nn.Dense's kernel/bias params (same names, shapes,
+    inits) without building the layer — used by the int8 serving path so
+    checkpoints are interchangeable with the bf16 path."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class ConvNeXtBlock(nn.Module):
     dim: int
     layer_scale_init: float = 1e-6
@@ -107,6 +142,11 @@ class ConvNeXtBlock(nn.Module):
     # see _dwconv_mxu), or "auto" (mxu when H*W <= 256 where the scatter
     # matrix stays small; the measured crossover)
     dw_mode: str = "auto"
+    # int8 serving path for the two pointwise MLPs (the bulk of backbone
+    # FLOPs): dynamic per-tensor activation / per-channel weight
+    # quantization onto the MXU's int8 pipe. Same param tree; serving only
+    # (no gradient path needed — training stays bf16).
+    int8_mlp: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -125,11 +165,18 @@ class ConvNeXtBlock(nn.Module):
                         feature_group_count=self.dim, dtype=self.dtype,
                         param_dtype=jnp.float32, name="dwconv")(x)
         h = LayerNormFp32(name="norm")(h)
-        h = nn.Dense(4 * self.dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="pwconv1")(h)
-        h = nn.gelu(h, approximate=not self.gelu_exact)
-        h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="pwconv2")(h)
+        if self.int8_mlp:
+            w1, b1 = _MlpParams(4 * self.dim, self.dim, name="pwconv1")()
+            h = _dense_int8(h, w1, b1)
+            h = nn.gelu(h, approximate=not self.gelu_exact)
+            w2, b2 = _MlpParams(self.dim, 4 * self.dim, name="pwconv2")()
+            h = _dense_int8(h, w2, b2)
+        else:
+            h = nn.Dense(4 * self.dim, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="pwconv1")(h)
+            h = nn.gelu(h, approximate=not self.gelu_exact)
+            h = nn.Dense(self.dim, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="pwconv2")(h)
         gamma = self.param("gamma", nn.initializers.constant(self.layer_scale_init),
                            (self.dim,), jnp.float32)
         h = h * gamma.astype(h.dtype)
@@ -152,12 +199,22 @@ class ConvNeXt(nn.Module):
     out_indices: Tuple[int, ...] = (3,)
     gelu_exact: bool = False
     dw_mode: str = "auto"
+    int8_mlp: bool = False   # see ConvNeXtBlock.int8_mlp (serving only)
+    # rematerialize each block's internals in the backward pass: activations
+    # kept per block drop from ~6 tensors (conv out, fp32 LN, 4x MLP hidden,
+    # gelu) to just the block boundary — the standard trade for fitting
+    # bigger train batches on-chip (reference trains with AMP on 24GB GPUs;
+    # TPU HBM is smaller per chip). Param tree is unchanged, checkpoints
+    # interchangeable; forward-only inference is unaffected.
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         import numpy as np
         dp_rates = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        Block = (nn.remat(ConvNeXtBlock, static_argnums=(2,))
+                 if self.remat else ConvNeXtBlock)
         feats = []
         cur = 0
         for stage in range(4):
@@ -170,11 +227,12 @@ class ConvNeXt(nn.Module):
                 x = nn.Conv(self.dims[stage], (2, 2), strides=(2, 2), dtype=self.dtype,
                             param_dtype=jnp.float32, name=f"downsample_conv{stage}")(x)
             for blk in range(self.depths[stage]):
-                x = ConvNeXtBlock(self.dims[stage], drop_path=float(dp_rates[cur]),
-                                  gelu_exact=self.gelu_exact,
-                                  dw_mode=self.dw_mode,
-                                  dtype=self.dtype, name=f"stage{stage}_block{blk}")(
-                                      x, deterministic=deterministic)
+                x = Block(self.dims[stage], drop_path=float(dp_rates[cur]),
+                          gelu_exact=self.gelu_exact,
+                          dw_mode=self.dw_mode,
+                          int8_mlp=self.int8_mlp,
+                          dtype=self.dtype, name=f"stage{stage}_block{blk}")(
+                              x, deterministic)
                 cur += 1
             if stage in self.out_indices:
                 feats.append(x)

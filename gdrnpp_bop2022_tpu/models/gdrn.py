@@ -78,6 +78,8 @@ def _build_backbone(cfg: PoseNetConfig, dtype, out_indices=None):
     if "convnext" in name:
         kw["gelu_exact"] = cfg.backbone.gelu_exact
         kw["dw_mode"] = cfg.backbone.dw_mode
+        kw["remat"] = cfg.backbone.remat
+        kw["int8_mlp"] = cfg.backbone.int8_mlp
     if out_indices is None:
         out_indices = (cfg.backbone.out_index,)
     return builders[name](out_indices=out_indices, dtype=dtype, **kw)

@@ -147,35 +147,42 @@ class CSPDarknet(nn.Module):
     wid_mul: float = 1.0
     depthwise: bool = False
     norm: str = "GN"
+    # remat: recompute each CSP stage's internals in the backward pass so
+    # only stage-boundary activations live in HBM — makes yolox-x 640^2
+    # training fit on one chip (the reference leans on AMP + 24GB GPUs,
+    # det/yolox/engine/yolox_trainer.py:173-185). Params unchanged.
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         base_c = int(self.wid_mul * 64)
         base_d = max(round(self.dep_mul * 3), 1)
+        CSP = nn.remat(CSPLayer) if self.remat else CSPLayer
+        SPP = nn.remat(SPPBottleneck) if self.remat else SPPBottleneck
 
         # stem (Focus)
         x = focus_rearrange(x)
         x = ConvBnAct(base_c, 3, norm=self.norm, dtype=self.dtype, name="stem")(x)
 
         x = ConvBnAct(base_c * 2, 3, 2, norm=self.norm, dtype=self.dtype, name="dark2_conv")(x)
-        x = CSPLayer(base_c * 2, base_d, depthwise=self.depthwise,
-                     norm=self.norm, dtype=self.dtype, name="dark2_csp")(x)
+        x = CSP(base_c * 2, base_d, depthwise=self.depthwise,
+                norm=self.norm, dtype=self.dtype, name="dark2_csp")(x)
 
         x = ConvBnAct(base_c * 4, 3, 2, norm=self.norm, dtype=self.dtype, name="dark3_conv")(x)
-        x = CSPLayer(base_c * 4, base_d * 3, depthwise=self.depthwise,
-                     norm=self.norm, dtype=self.dtype, name="dark3_csp")(x)
+        x = CSP(base_c * 4, base_d * 3, depthwise=self.depthwise,
+                norm=self.norm, dtype=self.dtype, name="dark3_csp")(x)
         d3 = x
 
         x = ConvBnAct(base_c * 8, 3, 2, norm=self.norm, dtype=self.dtype, name="dark4_conv")(x)
-        x = CSPLayer(base_c * 8, base_d * 3, depthwise=self.depthwise,
-                     norm=self.norm, dtype=self.dtype, name="dark4_csp")(x)
+        x = CSP(base_c * 8, base_d * 3, depthwise=self.depthwise,
+                norm=self.norm, dtype=self.dtype, name="dark4_csp")(x)
         d4 = x
 
         x = ConvBnAct(base_c * 16, 3, 2, norm=self.norm, dtype=self.dtype, name="dark5_conv")(x)
-        x = SPPBottleneck(base_c * 16, norm=self.norm, dtype=self.dtype, name="dark5_spp")(x)
-        x = CSPLayer(base_c * 16, base_d, shortcut=False,
-                     depthwise=self.depthwise, norm=self.norm, dtype=self.dtype,
-                     name="dark5_csp")(x)
+        x = SPP(base_c * 16, norm=self.norm, dtype=self.dtype, name="dark5_spp")(x)
+        x = CSP(base_c * 16, base_d, shortcut=False,
+                depthwise=self.depthwise, norm=self.norm, dtype=self.dtype,
+                name="dark5_csp")(x)
         d5 = x
         return {"dark3": d3, "dark4": d4, "dark5": d5}

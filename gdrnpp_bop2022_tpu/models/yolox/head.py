@@ -28,6 +28,8 @@ class YOLOXHead(nn.Module):
     strides: Tuple[int, ...] = (8, 16, 32)
     depthwise: bool = False
     norm: str = "GN"
+    remat: bool = False   # see CSPDarknet.remat; the stride-8 head branch
+                          # is the single largest activation in yolox-x 640^2
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -36,6 +38,8 @@ class YOLOXHead(nn.Module):
         [(B, H, W, 5+C)] ordered like self.strides."""
         hidden = int(256 * self.wid_mul)
         Conv = DWConv if self.depthwise else ConvBnAct
+        if self.remat:
+            Conv = nn.remat(Conv)
         outs = []
         for i, f in enumerate(feats):
             x = ConvBnAct(hidden, 1, norm=self.norm, dtype=self.dtype, name=f"stem{i}")(f)

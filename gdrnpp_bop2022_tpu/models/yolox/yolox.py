@@ -35,24 +35,29 @@ class YOLOX(nn.Module):
     strides: Tuple[int, ...] = (8, 16, 32)
     depthwise: bool = False
     norm: str = "GN"    # GN (TPU default) | BN (released-weights parity)
+    # remat=True recomputes stage internals in the backward pass (see
+    # CSPDarknet.remat) — required for yolox-x 640^2 training to fit one
+    # chip's HBM; forward-only inference compiles to the same program.
+    remat: bool = True
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, images: jax.Array):
         """images (B, H, W, 3) normalized. Returns raw per-level outputs."""
         feats = YOLOPAFPN(self.dep_mul, self.wid_mul, self.depthwise,
-                          norm=self.norm, dtype=self.dtype,
+                          norm=self.norm, remat=self.remat, dtype=self.dtype,
                           name="pafpn")(images)
         return YOLOXHead(self.num_classes, self.wid_mul, self.strides,
-                         self.depthwise, norm=self.norm, dtype=self.dtype,
-                         name="head")(feats)
+                         self.depthwise, norm=self.norm, remat=self.remat,
+                         dtype=self.dtype, name="head")(feats)
 
 
 def build_yolox(num_classes: int, size: str = "yolox_x",
-                norm: str = "GN", dtype=jnp.bfloat16) -> YOLOX:
+                norm: str = "GN", remat: bool = True,
+                dtype=jnp.bfloat16) -> YOLOX:
     d, w = _SIZES[size]
     return YOLOX(num_classes=num_classes, dep_mul=d, wid_mul=w, norm=norm,
-                 dtype=dtype)
+                 remat=remat, dtype=dtype)
 
 
 def make_tta_inference(model, scales=(0.75, 1.0, 1.25), flip: bool = True,

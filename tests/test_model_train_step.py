@@ -68,13 +68,17 @@ def test_gdrn_forward_and_train_step():
     state = create_train_state(model.apply, variables["params"], tx)
     sym_bank, sym_mask = build_sym_bank([None] * cfg.model.pose_net.num_classes)
     step = make_train_step(cfg, sym_bank, sym_mask)
+    # the step donates `state` (its buffers are reused for the new state),
+    # so snapshot params to host BEFORE stepping
+    params_before = jax.tree.map(np.asarray, state.params)
     state2, metrics = step(state, batch, jax.random.PRNGKey(1), jnp.asarray(0.0))
     assert np.isfinite(float(metrics["total_loss"]))
     assert int(state2.step) == 1
     # params must have moved
     moved = jax.tree_util.tree_reduce(
         lambda acc, leaf: acc + float(jnp.sum(jnp.abs(leaf))),
-        jax.tree.map(lambda a, b: a - b, state2.params, state.params), 0.0)
+        jax.tree.map(lambda a, b: np.asarray(a) - b, state2.params,
+                     params_before), 0.0)
     assert moved > 0.0
 
     # eval step ---------------------------------------------------------
