@@ -29,6 +29,13 @@ class DatasetMeta:
     vertex_scale: float = 0.001
     train_pbr_scenes: Optional[Sequence[int]] = None
     test_scenes: Optional[Sequence[int]] = None
+    # BOP eval parameterization (reference eval matrix,
+    # lib/pysixd/scripts/eval_pose_results_more.py:41-83): vsd_delta is
+    # 15mm for every dataset EXCEPT itodd (5mm); n_top -1 = score all
+    # estimates per target; visib_gt_min filters GT below 10% visibility
+    vsd_delta: float = 0.015
+    eval_n_top: int = -1
+    visib_gt_min: float = 0.1
 
     @property
     def objects(self):
@@ -141,6 +148,7 @@ _register(DatasetMeta(
     camera_matrix=_K(2992.63, 0.0, 633.886, 3003.99, 489.554),
     depth_factor=1000.0,
     train_pbr_scenes=tuple(range(50)), test_scenes=(1,),
+    vsd_delta=0.005,   # eval_pose_results_more.py:46 — "itodd": 5 (mm)
 ))
 
 _register(DatasetMeta(

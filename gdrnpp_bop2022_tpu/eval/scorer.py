@@ -98,17 +98,26 @@ def _chunk_sizes(n, chunk):
 
 
 def _run_chunked(kernel, arrays: Dict[str, np.ndarray], n: int, chunk: int,
-                 pair_axis: int = 0):
+                 pair_axis: int = 0, gather=None):
     """Run `kernel(**arrays)` over pair-axis chunks with edge padding to a
     static size (one compile per chunk size). pair_axis: which OUTPUT axis
     carries the pair dimension (0 for (c, ...) outputs, -1 for channel-
-    first outputs like aux_kernel's (5, c))."""
+    first outputs like aux_kernel's (5, c)).
+
+    gather: optional {name: (idx (n,), bank (U, ...))} entries gathered
+    PER CHUNK on the host — peak memory O(U + chunk * item), not
+    O(n * item). Used for the per-pair depth images in the VSD pass,
+    where materializing (n_pairs, H, W) up front would OOM the host at
+    BOP scale (tens of thousands of pairs at 540x720)."""
     if n == 0:
         return None
     c = _chunk_sizes(n, chunk)
     outs = []
     for i0 in range(0, n, c):
         sl = {k: v[i0:i0 + c] for k, v in arrays.items()}
+        if gather:
+            for k, (gi, bank) in gather.items():
+                sl[k] = bank[gi[i0:i0 + c]]
         n_i = len(next(iter(sl.values())))
         if n_i < c:
             sl = {k: np.concatenate(
@@ -179,12 +188,25 @@ def score_bop_results(
     @jax.jit
     def aux_kernel(Re, te, Rg, tg, K, label):
         P = jnp.take(pts_bank, label, axis=0)
+        # sym-closest GT rotation for re/proj (reference custom evaluator:
+        # get_closest_rot over the discrete sym set for SYM_OBJS,
+        # gdrn_custom_evaluator.py:687-723 — rotations only, translation
+        # untouched). Non-sym classes have only the identity valid, so
+        # this degenerates to plain re/proj for them.
+        sR = jnp.take(symR_b, label, axis=0)          # (n, S, 3, 3)
+        sV = jnp.take(symV_b, label, axis=0)          # (n, S)
+        Rg_s = jnp.einsum("nij,nsjk->nsik", Rg, sR)
+        res = jax.vmap(re_batch, in_axes=(None, 1), out_axes=1)(Re, Rg_s)
+        res = jnp.where(sV, res, jnp.inf)             # (n, S)
+        k = jnp.argmin(res, axis=1)
+        Rg_best = jnp.take_along_axis(
+            Rg_s, k[:, None, None, None], axis=1)[:, 0]
         return jnp.stack([
             add_batch(Re, te, Rg, tg, P),
             adi_batch(Re, te, Rg, tg, P),
-            re_batch(Re, Rg),
+            jnp.min(res, axis=1),
             te_batch(te, tg),
-            proj_batch(Re, te, Rg, tg, K, P)], axis=0)   # (5, n)
+            proj_batch(Re, te, Rg_best, tg, K, P)], axis=0)   # (5, n)
 
     @jax.jit
     def vsd_win_kernel(Re, te, Rg, tg, depth, K, label, diam):
@@ -290,46 +312,63 @@ def score_bop_results(
         if do_vsd:
             vsd_rows = [j for j in jobs if j["depth"] is not None]
             if vsd_rows:
-                idx = np.concatenate([
-                    np.arange(j["off"], j["off"] + j["ne"] * j["ng"])
-                    for j in vsd_rows])
-                im_h, im_w = vsd_rows[0]["depth"].shape
-                if vsd_mode == "window":
-                    use_win = np.ones(len(idx), bool)
-                elif vsd_mode == "full":
-                    use_win = np.zeros(len(idx), bool)
-                else:  # auto: windowed only where it provably fits
-                    use_win = window_fits(
-                        P["Re"][idx], P["te"][idx], P["Rg"][idx],
-                        P["tg"][idx], P_K[idx], P_diam[idx], im_h, im_w)
-                depth_of_pair = np.empty(len(idx), np.int64)
-                depth_list = []
-                pos = 0
-                for j in vsd_rows:
-                    n_j = j["ne"] * j["ng"]
-                    depth_of_pair[pos:pos + n_j] = len(depth_list)
-                    depth_list.append(j["depth"])
-                    pos += n_j
-                depth_stack = np.stack(depth_list).astype(np.float32)
-
                 vsd_flat = np.zeros((n_pairs, len(VSD_TAUS)), np.float32)
-                for kernel, sel, chunk in (
-                        (vsd_win_kernel, use_win, _VSD_WIN_CHUNK),
-                        (vsd_full_kernel, ~use_win, _VSD_FULL_CHUNK)):
-                    sub = idx[sel]
-                    if not len(sub):
-                        continue
-                    arrs = {k: v[sub] for k, v in P.items()}
-                    arrs["depth"] = depth_stack[depth_of_pair[sel]]
-                    arrs["K"] = P_K[sub]
-                    arrs["label"] = P_label[sub]
-                    arrs["diam"] = P_diam[sub]
-                    vsd_flat[sub] = _run_chunked(kernel, arrs, len(sub),
-                                                 chunk)
+                # group by depth-image shape: per-dataset sizes are uniform
+                # but mixed eval sets (or cropped sensors) must not crash
+                # np.stack nor inherit the first image's window geometry
+                by_shape: Dict[tuple, list] = {}
+                for j in vsd_rows:
+                    by_shape.setdefault(j["depth"].shape, []).append(j)
+                for (im_h, im_w), rows in by_shape.items():
+                    idx = np.concatenate([
+                        np.arange(j["off"], j["off"] + j["ne"] * j["ng"])
+                        for j in rows])
+                    # dedupe depth images by identity: targets on the same
+                    # (scene, im) share the depth_cache array, so the bank
+                    # holds one copy per UNIQUE image (not per target) and
+                    # per-pair slices are gathered chunk-by-chunk inside
+                    # _run_chunked — peak host memory O(unique + chunk*H*W)
+                    depth_of_pair = np.empty(len(idx), np.int64)
+                    depth_list, seen = [], {}
+                    pos = 0
+                    for j in rows:
+                        n_j = j["ne"] * j["ng"]
+                        di = seen.get(id(j["depth"]))
+                        if di is None:
+                            di = seen[id(j["depth"])] = len(depth_list)
+                            depth_list.append(
+                                np.asarray(j["depth"], np.float32))
+                        depth_of_pair[pos:pos + n_j] = di
+                        pos += n_j
+                    depth_bank = np.stack(depth_list)
+
+                    if vsd_mode == "window":
+                        use_win = np.ones(len(idx), bool)
+                    elif vsd_mode == "full":
+                        use_win = np.zeros(len(idx), bool)
+                    else:  # auto: windowed only where it provably fits
+                        use_win = window_fits(
+                            P["Re"][idx], P["te"][idx], P["Rg"][idx],
+                            P["tg"][idx], P_K[idx], P_diam[idx], im_h, im_w)
+                    for kernel, sel, chunk in (
+                            (vsd_win_kernel, use_win, _VSD_WIN_CHUNK),
+                            (vsd_full_kernel, ~use_win, _VSD_FULL_CHUNK)):
+                        sub = idx[sel]
+                        if not len(sub):
+                            continue
+                        arrs = {k: v[sub] for k, v in P.items()}
+                        arrs["K"] = P_K[sub]
+                        arrs["label"] = P_label[sub]
+                        arrs["diam"] = P_diam[sub]
+                        vsd_flat[sub] = _run_chunked(
+                            kernel, arrs, len(sub), chunk,
+                            gather={"depth": (depth_of_pair[sel],
+                                              depth_bank)})
 
         # --- phase 3 (host): per-target per-threshold matching -----------
         matched_pairs = []      # flat pair indices matched by min-add
-        matched_meta = []       # (diam,)
+        matched_meta = []       # diam per matched pair
+        matched_label = []      # class label per matched pair
         for j in jobs:
             ne, ng, off = j["ne"], j["ng"], j["off"]
             sl = slice(off, off + ne * ng)
@@ -361,6 +400,7 @@ def score_bop_results(
                 used.add(jj)
                 matched_pairs.append(off + i * ng + jj)
                 matched_meta.append(j["diam"])
+                matched_label.append(label_of[j["key"][2]])
                 n_matched += 1
             for _ in range(ng - n_matched):
                 for k in err_rows:
@@ -377,6 +417,9 @@ def score_bop_results(
             for row_i, name in enumerate(("add", "adi", "re", "te", "proj")):
                 for v, d in zip(cols[row_i], matched_meta):
                     err_rows[name].append((float(v), d))
+            matched_errs = {name: np.asarray(cols[row_i], np.float64)
+                            for row_i, name in enumerate(
+                                ("add", "adi", "re", "te", "proj"))}
 
     out = {}
     if mssd_tar and "mssd" in errors:
@@ -410,6 +453,28 @@ def score_bop_results(
         for name in ("add", "adi"):
             errs = np.array([e for e, _ in err_rows[name]])
             out[f"auc_{name}_10cm"] = auc_of_errors(errs, max_err=0.10)
+
+    # precision tables (reference _eval_predictions_precision,
+    # gdrn_custom_evaluator.py:811-960, DPOD-style): denominator = matched
+    # predictions only — undetected GT is IGNORED, unlike the recalls
+    # above where every unmatched GT contributes an inf row. "ad" selects
+    # adi for objects with a symmetry bank, add otherwise.
+    if n_pairs and matched_pairs:
+        diam_m = np.asarray(matched_meta, np.float64)
+        sym_m = np.array([model_bank.sym_rotations[l] is not None
+                          for l in matched_label])
+        ad = np.where(sym_m, matched_errs["adi"], matched_errs["add"])
+        for th in (0.02, 0.05, 0.10):
+            out[f"prec_ad_{int(th*100)}"] = float(np.mean(ad < th * diam_m))
+        for th in (2, 5, 10):
+            out[f"prec_re_{th}"] = float(np.mean(matched_errs["re"] < th))
+            out[f"prec_te_{th}"] = float(
+                np.mean(matched_errs["te"] < th / 100.0))
+            out[f"prec_rete_{th}"] = float(np.mean(
+                (matched_errs["re"] < th)
+                & (matched_errs["te"] < th / 100.0)))
+            out[f"prec_proj_{th}"] = float(
+                np.mean(matched_errs["proj"] < th))
     return out
 
 

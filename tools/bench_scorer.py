@@ -126,10 +126,17 @@ def main():
             n_img, tpi, im_w, im_h)
         getter = (None if args.no_vsd
                   else (lambda s, i: depth))
+        # per-dataset vsd delta (itodd: 5mm), matching the reference grid
+        from gdrnpp_bop2022_tpu.datasets.meta import get_meta
+        try:
+            vsd_delta = get_meta(name).vsd_delta
+        except KeyError:
+            vsd_delta = 0.015
         t0 = time.perf_counter()
         scores = score_bop_results(
             results, gts, bank, targets=targets, im_width=im_w,
-            depth_test_getter=getter, vsd_mode=args.vsd_mode)
+            depth_test_getter=getter, vsd_mode=args.vsd_mode,
+            vsd_delta=vsd_delta)
         dt = time.perf_counter() - t0
         print(json.dumps({
             "metric": "scorer_wallclock", "dataset": name,

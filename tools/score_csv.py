@@ -29,6 +29,15 @@ def main():
     ap.add_argument("--vsd-mode", default="full",
                     choices=["auto", "window", "full"],
                     help="full = strict BOP-toolkit-equivalent rendering")
+    # per-dataset eval grid (reference eval_pose_results_more.py:41-83):
+    # defaults come from the dataset meta (itodd: vsd_delta 5mm), flags
+    # override for ablation sweeps
+    ap.add_argument("--vsd-delta", type=float, default=None,
+                    help="vsd tolerance in meters (default: dataset meta)")
+    ap.add_argument("--n-top", type=int, default=None,
+                    help="top-N estimates per target (-1 = all)")
+    ap.add_argument("--visib-gt-min", type=float, default=None,
+                    help="min GT visible fraction (default: dataset meta)")
     args = ap.parse_args()
 
     import numpy as np
@@ -73,10 +82,16 @@ def main():
             return load_depth(rec.depth_path, rec.depth_scale,
                               meta.depth_factor)
 
-    scores = score_bop_results(results, gt_rows, bank, targets=targets,
-                               im_width=meta.width,
-                               depth_test_getter=depth_getter,
-                               vsd_mode=args.vsd_mode)
+    scores = score_bop_results(
+        results, gt_rows, bank, targets=targets,
+        im_width=meta.width,
+        depth_test_getter=depth_getter,
+        vsd_mode=args.vsd_mode,
+        vsd_delta=(meta.vsd_delta if args.vsd_delta is None
+                   else args.vsd_delta),
+        n_top=(meta.eval_n_top if args.n_top is None else args.n_top),
+        visib_gt_min=(meta.visib_gt_min if args.visib_gt_min is None
+                      else args.visib_gt_min))
     print(json.dumps(scores, indent=2))
 
 

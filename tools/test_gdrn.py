@@ -163,7 +163,11 @@ def run_eval(cfg, meta, bank, ckpt_dir=None):
 
         scores = score_bop_results(
             results, gt_rows, bank, targets=targets, im_width=meta.width,
-            depth_test_getter=depth_getter, vsd_mode=cfg.val.vsd_mode)
+            depth_test_getter=depth_getter, vsd_mode=cfg.val.vsd_mode,
+            # per-dataset eval grid (eval_pose_results_more.py:41-83):
+            # itodd scores at vsd_delta=5mm; n_top from the val config
+            vsd_delta=meta.vsd_delta, n_top=cfg.val.n_top,
+            visib_gt_min=meta.visib_gt_min)
         save_json(os.path.join(out_dir, "scores.json"), scores)
         print(json.dumps(scores, indent=2))
     return results
