@@ -50,9 +50,13 @@ class GdrnTrainLoader:
         with_depth: bool = False,
         sampler: str = "random",       # random | repeat_factor
         repeat_thresh: float = 0.01,
-        num_workers: int = 4,
+        num_workers: int = -1,         # -1: auto = os.cpu_count()
         num_builders: int = 1,
         cache_gb: float = 0.0,
+        pools=None,                    # datasets.device_pool.FramePools:
+                                       # device-resident frame pools; the
+                                       # loader emits slot indices instead
+                                       # of stacked pixel arrays
     ):
         """bg_paths: image files for background replacement (reference
         _bg_img_paths from VOC/COCO/SUN, base_data_loader.py:339-460).
@@ -79,6 +83,11 @@ class GdrnTrainLoader:
         pickle/shared-memory dataset serialization (base_data_loader.py:
         73-83, which caches ENCODED bytes; we cache decoded pixels)."""
         assert len(records) > 0
+        self.pools = pools
+        if pools is not None:
+            # pool slot assignment is stateful; one builder keeps it
+            # race-free (decode parallelism still available via num_workers)
+            assert num_builders <= 1, "pool mode requires num_builders=1"
         self.records = list(records)
         self._bg_paths = list(bg_paths) if bg_paths else None
         self.truncate_fg = truncate_fg
@@ -105,6 +114,12 @@ class GdrnTrainLoader:
             self._probs = w / w.sum()
         elif sampler != "random":
             raise ValueError(f"unknown sampler: {sampler}")
+        if num_workers < 0:
+            # auto: one decode thread per core. On a 1-core host this
+            # disables the pool entirely — measured 4x SLOWER than serial
+            # there (GIL + scheduling overhead with nothing to overlap)
+            import os as _os
+            num_workers = _os.cpu_count() or 1
         self._pool = (ThreadPoolExecutor(max_workers=num_workers)
                       if num_workers > 1 else None)
         self._cache: "OrderedDict[str, dict]" = OrderedDict()
@@ -157,6 +172,9 @@ class GdrnTrainLoader:
                 self.cache_hits += 1
                 return self._cache[key]
         val = fn()
+        # an accidental in-place write by a future consumer must raise, not
+        # silently poison every later batch drawing the same file
+        val.flags.writeable = False
         with self._cache_lock:
             self.cache_misses += 1
             if key not in self._cache:
@@ -168,51 +186,60 @@ class GdrnTrainLoader:
                     self._cache_bytes -= old.nbytes
         return val
 
+    # -- per-file fetchers (shared by the stacked and pool paths) ---------
+    def _fetch_rgb(self, path: str) -> np.ndarray:
+        import cv2
+
+        def fn():
+            img = load_image(path)
+            if img.shape[0] != self.im_h or img.shape[1] != self.im_w:
+                img = cv2.resize(img, (self.im_w, self.im_h))
+            return img
+        return self._cached(path, fn)
+
+    def _fetch_depth(self, r: InstanceRecord) -> np.ndarray:
+        """Depth in meters (reference data_loader.py:345-349)."""
+        import cv2
+
+        def fn():
+            if r.depth_path:
+                d = load_depth(r.depth_path, r.depth_scale, 1000.0)
+            else:
+                d = np.zeros((self.im_h, self.im_w), np.float32)
+            if d.shape != (self.im_h, self.im_w):
+                d = cv2.resize(d, (self.im_w, self.im_h),
+                               interpolation=cv2.INTER_NEAREST)
+            return d
+        return self._cached(r.depth_path or f"zd:{r.rgb_path}", fn)
+
+    def _fetch_mask(self, path: Optional[str]) -> np.ndarray:
+        import cv2
+
+        def fn():
+            m = (load_mask(path) if path
+                 else np.ones((self.im_h, self.im_w), np.float32))
+            if m.shape != (self.im_h, self.im_w):
+                m = cv2.resize(m, (self.im_w, self.im_h),
+                               interpolation=cv2.INTER_NEAREST)
+            return m
+        return self._cached(path or f"ones:{self.im_w}x{self.im_h}", fn)
+
+    def _fetch_bg(self, path: str) -> np.ndarray:
+        return self._cached(f"bg:{path}", lambda: self._load_bg(path))
+
     def _load_sample(self, r: InstanceRecord, bg_path: Optional[str]) -> dict:
         """Pure IO/decode for one sample — no RNG; safe to run in parallel
         worker threads (cv2 decode/resize release the GIL). Each FILE is
         cached independently so instances sharing an rgb frame share one
         decoded copy."""
-        import cv2
-        out = {}
-
-        def load_rgb():
-            img = load_image(r.rgb_path)
-            if img.shape[0] != self.im_h or img.shape[1] != self.im_w:
-                img = cv2.resize(img, (self.im_w, self.im_h))
-            return img
-
-        out["image"] = self._cached(r.rgb_path, load_rgb)
+        out = {"image": self._fetch_rgb(r.rgb_path)}
         if self.with_depth:
-            # depth in meters (reference data_loader.py:345-349)
-            def load_d():
-                if r.depth_path:
-                    d = load_depth(r.depth_path, r.depth_scale, 1000.0)
-                else:
-                    d = np.zeros((self.im_h, self.im_w), np.float32)
-                if d.shape != (self.im_h, self.im_w):
-                    d = cv2.resize(d, (self.im_w, self.im_h),
-                                   interpolation=cv2.INTER_NEAREST)
-                return d
-            out["depth"] = self._cached(r.depth_path or f"zd:{r.rgb_path}",
-                                        load_d)
-
-        def load_m(path):
-            def fn():
-                m = (load_mask(path) if path
-                     else np.ones((self.im_h, self.im_w), np.float32))
-                if m.shape != (self.im_h, self.im_w):
-                    m = cv2.resize(m, (self.im_w, self.im_h),
-                                   interpolation=cv2.INTER_NEAREST)
-                return m
-            return self._cached(path or f"ones:{self.im_w}x{self.im_h}", fn)
-
-        out["mask_visib"] = load_m(r.mask_visib_path)
-        out["mask_full"] = (load_m(r.mask_full_path) if r.mask_full_path
-                            else out["mask_visib"])
+            out["depth"] = self._fetch_depth(r)
+        out["mask_visib"] = self._fetch_mask(r.mask_visib_path)
+        out["mask_full"] = (self._fetch_mask(r.mask_full_path)
+                            if r.mask_full_path else out["mask_visib"])
         if bg_path is not None:
-            out["bg"] = self._cached(f"bg:{bg_path}",
-                                     lambda: self._load_bg(bg_path))
+            out["bg"] = self._fetch_bg(bg_path)
         return out
 
     def _build_batch(self, rng) -> dict:
@@ -227,6 +254,8 @@ class GdrnTrainLoader:
         trunc_draws = (rng.uniform(size=(B, 2))
                        if (self._bg_paths is not None and self.truncate_fg)
                        else None)
+        if self.pools is not None:
+            return self._finish_pool_batch(rng, recs, bg_sel, trunc_draws)
 
         # --- parallel IO/decode phase ---------------------------------------
         if self._pool is not None:
@@ -269,6 +298,81 @@ class GdrnTrainLoader:
                      zip(mvs, trunc_draws)])
             else:
                 out["fg_masks"] = out["mask_visib"]
+        return out
+
+    def _finish_pool_batch(self, rng, recs, bg_sel, trunc_draws) -> dict:
+        """Pool mode: decode only pool MISSES and emit device slot indices
+        + small per-sample arrays — no stacked pixel payload. Foreground
+        truncation moves on-device (engine.batching.trunc_mask_batch with
+        the same pre-drawn uniforms). Batch CONTENT stays a pure function
+        of the rng stream; only slot numbers depend on pool history."""
+        pools = self.pools
+        # parallel pre-decode of rgb/depth pool misses into the host LRU
+        # (ensure()'s fetch then hits the cache) — multi-core hosts overlap
+        # the png decodes exactly like the stacked path does
+        if self._pool is not None:
+            miss_rgb = [p for p in {r.rgb_path for r in recs}
+                        if p not in pools.rgb]
+            if miss_rgb:
+                list(self._pool.map(self._fetch_rgb, miss_rgb))
+            if self.with_depth and pools.depth is not None:
+                miss_d = {(r.depth_path or f"zd:{r.rgb_path}"): r
+                          for r in recs}
+                miss_d = [r for k, r in miss_d.items()
+                          if k not in pools.depth]
+                if miss_d:
+                    list(self._pool.map(self._fetch_depth, miss_d))
+        img_idx = pools.rgb.ensure([r.rgb_path for r in recs],
+                                   self._fetch_rgb)
+
+        def fetch_mask_u8(path):
+            m = self._fetch_mask(None if path.startswith("ones:") else path)
+            return (m > 0.5).astype(np.uint8)
+
+        mv_keys = [r.mask_visib_path or f"ones:{self.im_w}x{self.im_h}"
+                   for r in recs]
+        mf_keys = [r.mask_full_path or k for r, k in zip(recs, mv_keys)]
+        mask_idx = pools.mask.ensure(mv_keys, fetch_mask_u8)
+        mask_full_idx = pools.mask.ensure(mf_keys, fetch_mask_u8)
+
+        boxes = np.stack([self._select_bbox(r) for r in recs])
+        centers, scales = dzi_jitter_host(
+            rng, boxes, self.im_w, self.im_h,
+            pad_scale=self.dzi["pad_scale"],
+            scale_ratio=self.dzi["scale_ratio"],
+            shift_ratio=self.dzi["shift_ratio"],
+            dzi_type=self.dzi["dzi_type"])
+        out = {
+            "pool_mode": True,
+            "img_idx": img_idx,
+            "mask_idx": mask_idx,
+            "mask_full_idx": mask_full_idx,
+            "centers": centers,
+            "scales": scales,
+            "bboxes_xyxy": boxes,
+            "Ks": np.stack([r.K for r in recs]).astype(np.float32),
+            "labels": np.asarray([r.label for r in recs], np.int32),
+            "gt_rots": np.stack([r.pose[:, :3]
+                                 for r in recs]).astype(np.float32),
+            "gt_transes": np.stack([r.pose[:, 3]
+                                    for r in recs]).astype(np.float32),
+        }
+        if self.with_depth:
+            assert pools.depth is not None, \
+                "with_depth pool mode needs depth_frames > 0"
+            dkeys = [r.depth_path or f"zd:{r.rgb_path}" for r in recs]
+            by_dkey = {k: r for k, r in zip(dkeys, recs)}
+            out["depth_idx"] = pools.depth.ensure(
+                dkeys, lambda k: self._fetch_depth(by_dkey[k]))
+        if self._bg_paths is not None:
+            assert pools.bg is not None, "bg pool mode needs bg_frames > 0"
+            out["bg_idx"] = pools.bg.ensure(bg_sel, self._fetch_bg)
+            if self.truncate_fg:
+                out["trunc_draws"] = trunc_draws.astype(np.float32)
+        # snapshot AFTER all ensures: the consumer gathers from these exact
+        # buffer versions — the builder thread keeps uploading for later
+        # batches and each upload makes a new version
+        out["pool_bufs"] = pools.snapshot()
         return out
 
     def _load_bg(self, path: str) -> np.ndarray:

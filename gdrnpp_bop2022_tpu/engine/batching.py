@@ -182,6 +182,9 @@ def build_train_batch_online(
     pixel_mean: tuple = (0.0, 0.0, 0.0),
     pixel_std: tuple = (255.0, 255.0, 255.0),
     xyz_bin: int = 0,
+    mask_full_idx: "jax.Array | None" = None,  # (B,) separate index into
+                              # mask_full (device frame pools key visib and
+                              # amodal masks independently); None: mask_idx
 ):
     """Training batch with ONLINE GT: renders per-ROI depth with the crop-K,
     derives object-space XYZ, masks, region labels and SITE targets — the
@@ -206,7 +209,8 @@ def build_train_batch_online(
 
     # masks: crop the dataset-provided full-image masks (nearest)
     mv = _gather_images(mask_visib[..., None].astype(jnp.float32), mask_idx)
-    mf = _gather_images(mask_full[..., None].astype(jnp.float32), mask_idx)
+    mf = _gather_images(mask_full[..., None].astype(jnp.float32),
+                        mask_idx if mask_full_idx is None else mask_full_idx)
     gt_mask_visib = roi_crop_resize(mv, centers, scales, output_res,
                                     method="nearest")[..., 0]
     gt_mask_full = roi_crop_resize(mf, centers, scales, output_res,
@@ -333,3 +337,46 @@ def dzi_jitter_host(rng, bboxes_xyxy, im_w, im_h,
         raise ValueError(dzi_type)
     scales = np.minimum(scales, float(max(im_w, im_h)))
     return centers.astype(np.float32), scales.astype(np.float32)
+
+
+def trunc_mask_batch(masks: jax.Array, draws: jax.Array) -> jax.Array:
+    """Jittable foreground truncation: randomly blank one side of each
+    mask's bbox (device port of the host _trunc_mask / reference
+    trunc_mask, base_data_loader.py:454-478 — the draws (B, 2) are the
+    same two pre-drawn uniforms, so host and device paths produce
+    identical cuts for identical draws).
+
+    masks: (B, H, W) in {0, 1} (any float/int/bool dtype). Returns float32.
+    """
+    B, H, W = masks.shape
+    m = masks > 0.5
+    rows = m.any(axis=2)                    # (B, H): rows with foreground
+    cols = m.any(axis=1)                    # (B, W)
+    nonempty = rows.any(axis=1)
+    x1 = jnp.argmax(rows, axis=1).astype(jnp.float32)
+    x2 = (H - 1 - jnp.argmax(rows[:, ::-1], axis=1)).astype(jnp.float32)
+    y1 = jnp.argmax(cols, axis=1).astype(jnp.float32)
+    y2 = (W - 1 - jnp.argmax(cols[:, ::-1], axis=1)).astype(jnp.float32)
+    c_h = 0.5 * (x1 + x2)
+    c_w = 0.5 * (y1 + y2)
+    rnd, u = draws[:, 0], draws[:, 1]
+    # int() on a non-negative float == floor, matching the host port
+    cut_top = jnp.floor(x1 + u * (c_h - x1))        # rows <  cut removed
+    cut_bot = jnp.floor(c_h + u * (x2 - c_h))       # rows >= cut removed
+    cut_left = jnp.floor(y1 + u * (c_w - y1))       # cols <  cut removed
+    cut_right = jnp.floor(c_w + u * (y2 - c_w))     # cols >= cut removed
+    ri = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    ci = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+
+    def bc(x):
+        return x[:, None, None]
+
+    keep = jnp.where(
+        bc(rnd < 0.2), ri >= bc(cut_top),
+        jnp.where(bc(rnd < 0.4), ri < bc(cut_bot),
+                  jnp.where(bc(rnd < 0.6), ci >= bc(cut_left),
+                            jnp.where(bc(rnd < 0.8), ci < bc(cut_right),
+                                      True))))
+    out = m & keep
+    out = jnp.where(nonempty[:, None, None], out, m)
+    return out.astype(jnp.float32)

@@ -108,6 +108,20 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
             p for ext in ("*.jpg", "*.jpeg", "*.png")
             for p in _glob.glob(os.path.join(cfg.input.bg_images_dir,
                                              "**", ext), recursive=True))
+    pools = None
+    if cfg.train.device_pool_frames > 0:
+        from ..datasets.device_pool import FramePools
+        pools = FramePools(
+            im_h, im_w,
+            rgb_frames=cfg.train.device_pool_frames,
+            mask_frames=(cfg.train.device_pool_mask_frames
+                         or 2 * cfg.train.device_pool_frames),
+            depth_frames=(cfg.train.device_pool_frames
+                          if cfg.input.with_depth else 0),
+            bg_frames=(cfg.train.device_pool_bg_frames
+                       if bg_paths else 0))
+        print(f"device frame pools: {pools.nbytes / 1e9:.2f} GB HBM",
+              flush=True)
     loader = GdrnTrainLoader(
         records, cfg.solver.ims_per_batch, im_w, im_h,
         records2=records2, ratio2=cfg.datasets.train2_ratio,
@@ -123,8 +137,9 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
         sampler=cfg.datasets.sampler,
         repeat_thresh=cfg.datasets.repeat_thresh,
         num_workers=cfg.train.num_workers,
-        num_builders=cfg.train.num_builders,
-        cache_gb=cfg.train.cache_gb)
+        num_builders=(1 if pools is not None else cfg.train.num_builders),
+        cache_gb=cfg.train.cache_gb,
+        pools=pools)
 
     verts = jnp.asarray(model_bank.verts)
     faces = jnp.asarray(model_bank.faces)
@@ -145,16 +160,59 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
 
     def prep(host_batch, key):
         from ..ops.color_aug import color_aug_by_type, replace_background
-        images = jnp.asarray(host_batch["images"])
+        pool_mode = bool(host_batch.get("pool_mode"))
         k_bg, k_color, k_depth = jax.random.split(key, 3)
+        mask_full_idx = None
+        if pool_mode:
+            # device-pool batches carry slot indices, not pixels: gather
+            # the per-sample frames HBM->HBM (cheap) so the bg/color-aug
+            # path below sees ordinary (B, H, W, 3) frames. Masks stay in
+            # the pool — build_train_batch_online gathers them by slot.
+            from .batching import trunc_mask_batch
+            # gather from the batch's SNAPSHOT of the pool buffers, never
+            # the live pool attributes — the builder thread keeps uploading
+            # for later batches (device_pool.FramePools.snapshot)
+            bufs = host_batch["pool_bufs"]
+            slots = jnp.asarray(host_batch["img_idx"])
+            images = jnp.take(bufs["rgb"], slots, axis=0)
+            img_idx = jnp.arange(images.shape[0], dtype=jnp.int32)
+            mask_visib_stack = mask_full_stack = bufs["mask"]
+            mask_idx = jnp.asarray(host_batch["mask_idx"])
+            mask_full_idx = jnp.asarray(host_batch["mask_full_idx"])
+            fg_masks = bg_images = None
+            if "bg_idx" in host_batch:
+                fg_masks = jnp.take(bufs["mask"], mask_idx,
+                                    axis=0).astype(jnp.float32)
+                if cfg.input.truncate_fg and "trunc_draws" in host_batch:
+                    # truncation moves on-device (same pre-drawn uniforms
+                    # as the host path -> identical cuts)
+                    fg_masks = trunc_mask_batch(
+                        fg_masks, jnp.asarray(host_batch["trunc_draws"]))
+                bg_images = jnp.take(bufs["bg"],
+                                     jnp.asarray(host_batch["bg_idx"]),
+                                     axis=0)
+            depths = bufs.get("depth") if cfg.input.with_depth else None
+            depth_idx = (jnp.asarray(host_batch["depth_idx"])
+                         if cfg.input.with_depth else None)
+        else:
+            images = jnp.asarray(host_batch["images"])
+            img_idx = jnp.asarray(host_batch["img_idx"])
+            mask_visib_stack = jnp.asarray(host_batch["mask_visib"])
+            mask_full_stack = jnp.asarray(host_batch["mask_full"])
+            mask_idx = jnp.asarray(host_batch["mask_idx"])
+            fg_masks = (jnp.asarray(host_batch["fg_masks"])
+                        if "fg_masks" in host_batch else None)
+            bg_images = (jnp.asarray(host_batch["bg_images"])
+                         if "bg_images" in host_batch else None)
+            depths = (jnp.asarray(host_batch["depths"])
+                      if cfg.input.with_depth else None)
+            depth_idx = img_idx
         bg_gate = None
-        if cfg.input.change_bg_prob > 0 and "bg_images" in host_batch:
+        if cfg.input.change_bg_prob > 0 and bg_images is not None:
             # fg_masks is the (possibly fg-truncated) visible mask
             # (reference replace_bg + trunc_mask, base_data_loader.py:413-478)
             images, bg_gate = replace_background(
-                k_bg, images.astype(jnp.float32),
-                jnp.asarray(host_batch["fg_masks"]),
-                jnp.asarray(host_batch["bg_images"]),
+                k_bg, images.astype(jnp.float32), fg_masks, bg_images,
                 prob=cfg.input.change_bg_prob, return_gate=True)
         if cfg.input.color_aug.prob > 0:
             aug_fn = color_aug_by_type(cfg.input.color_aug.aug_type)
@@ -173,16 +231,16 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
                 images = (images.astype(jnp.float32) * (1 - gate)
                           + auged.astype(jnp.float32) * gate)
         batch = build_train_batch_online(
-            images, jnp.asarray(host_batch["img_idx"]),
+            images, img_idx,
             jnp.asarray(host_batch["centers"]), jnp.asarray(host_batch["scales"]),
             jnp.asarray(host_batch["bboxes_xyxy"]), jnp.asarray(host_batch["Ks"]),
             jnp.asarray(host_batch["labels"]), jnp.asarray(host_batch["gt_rots"]),
             jnp.asarray(host_batch["gt_transes"]),
-            jnp.asarray(host_batch["mask_visib"]), jnp.asarray(host_batch["mask_full"]),
-            jnp.asarray(host_batch["mask_idx"]),
-            verts, faces, fps_pts, extents, **prep_args)
+            mask_visib_stack, mask_full_stack, mask_idx,
+            verts, faces, fps_pts, extents,
+            mask_full_idx=mask_full_idx, **prep_args)
         batch["gt_points"] = jnp.take(points, batch["roi_labels"], axis=0)
-        if (cfg.input.truncate_fg and "fg_masks" in host_batch
+        if (cfg.input.truncate_fg and fg_masks is not None
                 and bg_gate is not None):
             # reference mask_trunc = mask_visib * trunc_mask
             # (data_loader.py:522-532) — fold the truncation into the
@@ -192,7 +250,7 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
             # full object and must keep full supervision
             from ..ops.crop import roi_crop_resize
             tm = roi_crop_resize(
-                jnp.asarray(host_batch["fg_masks"])[..., None],
+                fg_masks[..., None],
                 jnp.asarray(host_batch["centers"]),
                 jnp.asarray(host_batch["scales"]),
                 prep_args["output_res"], method="nearest")[..., 0]
@@ -201,8 +259,12 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
         if cfg.input.with_depth:
             from ..ops.depth_aug import gdrn_depth_aug
             from .batching import build_depth_rois
-            depths = jnp.asarray(host_batch["depths"])
             if cfg.input.depth_aug:
+                # NOTE pool mode: the aug is applied to the GATHERED depth
+                # slices, never in place into the pool
+                if pool_mode:
+                    depths = jnp.take(depths, depth_idx, axis=0)
+                    depth_idx = jnp.arange(depths.shape[0], dtype=jnp.int32)
                 depths = gdrn_depth_aug(
                     k_depth, depths,
                     drop_prob=cfg.input.drop_depth_prob,
@@ -210,7 +272,7 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
                     noise_prob=cfg.input.add_noise_depth_prob,
                     noise_level=cfg.input.add_noise_depth_level)
             batch["roi_depth"] = build_depth_rois(
-                depths, jnp.asarray(host_batch["img_idx"]),
+                depths, depth_idx,
                 jnp.asarray(host_batch["centers"]),
                 jnp.asarray(host_batch["scales"]),
                 jnp.asarray(host_batch["Ks"]),
