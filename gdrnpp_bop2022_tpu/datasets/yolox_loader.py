@@ -103,7 +103,14 @@ class YoloxTrainLoader:
                  input_size: int = 640, max_gt: int = 60,
                  mosaic_prob: float = 1.0, mixup_prob: float = 0.5,
                  hsv_prob: float = 1.0, flip_prob: float = 0.5,
+                 degrees: float = 10.0, translate: float = 0.1,
+                 mosaic_scale=(0.5, 1.5), mixup_scale=(0.5, 1.5),
+                 shear: float = 2.0,
                  enable_aug: bool = True, seed: int = 0, prefetch: int = 2):
+        """Geometry-aug knobs mirror the reference MosaicDetection recipe
+        (configs/yolox/bop_pbr/yolox_base.py:149-160: degrees=10,
+        translate=0.1, mosaic_scale=(0.1, 2), mixup_scale=(0.5, 1.5),
+        shear=2)."""
         assert records
         self.records = list(records)
         self.bs = batch_size
@@ -113,6 +120,11 @@ class YoloxTrainLoader:
         self.mixup_prob = mixup_prob if enable_aug else 0.0
         self.hsv_prob = hsv_prob if enable_aug else 0.0
         self.flip_prob = flip_prob if enable_aug else 0.0
+        self.degrees = degrees
+        self.translate = translate
+        self.mosaic_scale = tuple(mosaic_scale)
+        self.mixup_scale = tuple(mixup_scale)
+        self.shear = shear
         self.enable_aug = enable_aug
         self.rng = np.random.RandomState(seed)
         self._queue: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
@@ -166,13 +178,23 @@ class YoloxTrainLoader:
         labels = (np.concatenate(all_labels) if all_labels
                   else np.zeros((0,), np.int64))
         img, boxes, labels = _random_affine(
-            canvas, boxes, labels, self.rng, out_wh=(s, s))
+            canvas, boxes, labels, self.rng, degrees=self.degrees,
+            translate=self.translate, scales=self.mosaic_scale,
+            shear=self.shear, out_wh=(s, s))
         return img, boxes, labels
 
     def _mixup(self, img, boxes, labels):
         rec = self.records[self.rng.randint(len(self.records))]
         img2, boxes2, labels2 = self._load(rec)
         import cv2
+        # jitter the mixed-in image's scale (reference MosaicDetection
+        # mixup_scale jitter, det/yolox/data/datasets/mosaicdetection.py)
+        jit = self.rng.uniform(*self.mixup_scale)
+        if abs(jit - 1.0) > 1e-6:
+            h2, w2 = img2.shape[:2]
+            img2 = cv2.resize(img2, (max(int(w2 * jit), 1),
+                                     max(int(h2 * jit), 1)))
+            boxes2 = boxes2 * jit
         canvas = np.full((self.size, self.size, 3), 114, np.uint8)
         h, w = img2.shape[:2]
         canvas[:min(h, self.size), :min(w, self.size)] = \

@@ -1,0 +1,101 @@
+"""Detector recipes as config artifacts (VERDICT r3 missing #2).
+
+The reference pins every BOP'22 detector recipe as a config file
+(configs/yolox/bop_pbr/yolox_x_640_augCozyAAEhsv_ranger_30_epochs_*.py).
+These tests assert the configs/yolox tree reproduces those recipe knobs
+and that tools/train_yolox.py --config actually trains from one (with
+flags/--opts overriding)."""
+
+import glob
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _load(path):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "cfg_" + os.path.basename(path)[:-3], path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.cfg
+
+
+def test_recipe_tree_matches_reference_knobs():
+    from gdrnpp_bop2022_tpu.config import YoloxConfig
+
+    files = sorted(glob.glob(os.path.join(REPO, "configs/yolox/[a-z]*.py")))
+    files = [f for f in files if not f.endswith("_base.py")]
+    # the reference ships 10 recipes: 7 pbr + ycbv/tless/tudl real+pbr
+    names = {os.path.basename(f)[:-3] for f in files}
+    assert names == {"ycbv", "lmo", "tless", "tudl", "icbin", "itodd", "hb",
+                     "ycbv_real_pbr", "tless_real_pbr", "tudl_real_pbr"}
+    for f in files:
+        cfg = _load(f)
+        assert isinstance(cfg, YoloxConfig), f
+        # shared recipe knobs (yolox_base.py + common per-dataset overrides)
+        assert cfg.size == "yolox_x"
+        assert cfg.input_size == 640
+        assert cfg.batch_size == 32
+        assert cfg.total_epochs == 30 and cfg.no_aug_epochs == 15
+        assert cfg.optimizer == "ranger"
+        assert cfg.basic_lr_per_img == pytest.approx(0.001 / 64)
+        assert cfg.weight_decay == 0.0
+        assert cfg.aug.mosaic_scale == (0.1, 2.0)
+        assert cfg.aug.mixup_scale == (0.5, 1.5)
+        assert cfg.aug.degrees == 10.0 and cfg.aug.shear == 2.0
+        assert cfg.random_size == (14, 26)
+        assert cfg.test.tta_scales == (1.0, 0.75, 0.83, 1.12, 1.25)
+    # real+pbr variants carry two train splits
+    assert _load(os.path.join(REPO, "configs/yolox/tless_real_pbr.py")
+                 ).train_splits == ("train_pbr", "train_primesense")
+    assert _load(os.path.join(REPO, "configs/yolox/ycbv.py")
+                 ).train_splits == ("train_pbr",)
+
+
+def test_train_yolox_config_smoke(tmp_path):
+    """`train_yolox.py --config <recipe> --opts ...` runs a real (tiny)
+    training from a recipe artifact, flags overriding the recipe."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth_utils import build_synth_bop
+
+    root = tmp_path / "bop" / "synth"
+    build_synth_bop(root, split="train_pbr", n_images=4, seed=3)
+    cfg_file = tmp_path / "synth_cfg.py"
+    cfg_file.write_text(
+        "import os, sys\n"
+        f"sys.path.insert(0, {str(REPO)!r})\n"
+        "import numpy as np\n"
+        "from gdrnpp_bop2022_tpu.datasets.meta import (DatasetMeta,\n"
+        "    register_meta)\n"
+        "from configs.yolox._base import make_yolox_cfg\n"
+        "register_meta(DatasetMeta(name='synth',\n"
+        "    id2obj={1: 'cube', 2: 'small_cube'}, width=160, height=120,\n"
+        "    camera_matrix=np.array([[120., 0, 80], [0, 120., 60],\n"
+        "                            [0, 0, 1.]])))\n"
+        "cfg = make_yolox_cfg('synth', **{\n"
+        # batch 8: the conftest runs subprocesses with 8 virtual CPU
+        # devices and the trainer shards the batch over all of them
+        "    'size': 'yolox_s', 'input_size': 64, 'batch_size': 8,\n"
+        "    'random_size': (2, 2), 'aug': {'mosaic_prob': 0.0,\n"
+        "                                   'mixup_prob': 0.0}})\n")
+    out = tmp_path / "out"
+    env = dict(os.environ, GDRN_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/train_yolox.py"),
+         "--config", str(cfg_file), "--root", str(tmp_path / "bop"),
+         "--out", str(out), "--total-iters", "2",
+         "--opts", "ckpt_period_epochs=1"],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=str(tmp_path))
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    assert (out / "metrics_yolox.json").exists()
+    rows = [l for l in (out / "metrics_yolox.json").read_text().splitlines()
+            if l.strip()]
+    assert rows and np.isfinite(
+        __import__("json").loads(rows[-1])["total_loss"])
