@@ -66,3 +66,31 @@ def test_auto_mode_in_full_backbone():
     y_conv = m_conv.apply(v, x)
     np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_conv),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_int8_mlp_param_tree_and_accuracy():
+    """int8 serving path (ConvNeXtBlock.int8_mlp): identical param tree to
+    the bf16 path (checkpoints interchangeable) and close outputs —
+    per-channel weight + per-tensor activation int8 keeps the MLP within
+    ~1-2% relative error, far below bf16 task tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gdrnpp_bop2022_tpu.models.backbones.convnext import ConvNeXtBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 64), jnp.float32)
+    b16 = ConvNeXtBlock(64, dw_mode="conv", dtype=jnp.float32)
+    b8 = ConvNeXtBlock(64, dw_mode="conv", int8_mlp=True, dtype=jnp.float32)
+    v16 = b16.init(jax.random.PRNGKey(1), x)
+    v8 = b8.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(v16) == jax.tree_util.tree_structure(v8)
+    for a, b in zip(jax.tree_util.tree_leaves(v16),
+                    jax.tree_util.tree_leaves(v8)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    y16 = np.asarray(b16.apply(v16, x), np.float32)
+    y8 = np.asarray(b8.apply(v8, x), np.float32)
+    # block output = x + small residual; compare the residuals
+    r16, r8 = y16 - np.asarray(x), y8 - np.asarray(x)
+    denom = np.linalg.norm(r16) + 1e-12
+    rel = np.linalg.norm(r16 - r8) / denom
+    assert rel < 0.05, rel

@@ -53,6 +53,9 @@ def main():
                     help="also time backbone / geo head / pnp separately")
     ap.add_argument("--loops", type=int, nargs=2, default=[4, 24],
                     metavar=("SMALL", "LARGE"))
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="dotted config overrides, e.g. "
+                         "model.pose_net.backbone.int8_mlp=True")
     args = ap.parse_args()
 
     # the axon TPU plugin programmatically overrides JAX_PLATFORMS; this
@@ -73,6 +76,9 @@ def main():
     from gdrnpp_bop2022_tpu.utils.fake_data import fake_gdrn_batch
 
     cfg = load_config(args.config)
+    if args.opts:
+        from gdrnpp_bop2022_tpu.config import parse_opts, replace_cfg
+        cfg = replace_cfg(cfg, parse_opts(args.opts))
     pc = cfg.model.pose_net
     B = args.batch_size
     model = build_gdrn(cfg)
