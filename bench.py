@@ -71,6 +71,15 @@ def main():
              lambda: eval_serving_bench(model, params, pc,
                                         device_s_per_batch=e2e_per_iter[0]),
              out)
+    # Free the GDRN sections' device residency (bs-512 params/batch plus
+    # three compiled programs' scratch reservations) before the detector
+    # section: standalone, yolox-x 640^2 trains at bs=8 (276 ms/iter), but
+    # with the GDRN buffers still live the whole bs ladder OOMs (measured
+    # r4). Nothing after this point reuses the GDRN objects.
+    del core, model, params, batch
+    import gc
+    gc.collect()
+    jax.clear_caches()
     _section("yolox", yolox_bench, out)
     print(json.dumps(out))
 
