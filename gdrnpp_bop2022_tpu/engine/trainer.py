@@ -42,16 +42,27 @@ class MetricsWriter:
         self.max_iter = max_iter
         self.log_period = log_period
         self._t_start = time.perf_counter()
+        self._t_last = self._t_start
         self._last_iter = 0
         self.tb = None
         if tensorboard:
             from ..utils.tb_writer import TensorBoardWriter
             self.tb = TensorBoardWriter(os.path.join(output_dir, "tb"))
 
-    def write(self, iteration: int, metrics: dict, lr: float):
+    def write(self, iteration: int, metrics: dict, lr: float,
+              data_wait_ms: Optional[float] = None):
+        """data_wait_ms: avg host time per iter spent blocked on the input
+        pipeline since the last write — the loader-feeds-the-device
+        evidence (0 means the host hid all IO behind device steps)."""
         row = {k: float(v) for k, v in metrics.items()}
         row["iteration"] = iteration
         row["lr"] = float(lr)
+        now = time.perf_counter()
+        n_win = max(iteration - self._last_iter, 1)
+        row["iters_per_sec"] = n_win / max(now - self._t_last, 1e-9)
+        self._t_last, self._last_iter = now, iteration
+        if data_wait_ms is not None:
+            row["data_wait_ms"] = float(data_wait_ms)
         with open(self.path, "a") as f:
             f.write(json.dumps(row) + "\n")
         if self.tb is not None:
@@ -61,11 +72,14 @@ class MetricsWriter:
         elapsed = time.perf_counter() - self._t_start
         done = max(iteration, 1)
         eta = elapsed / done * (self.max_iter - done)
+        wait = (f" wait {row['data_wait_ms']:.1f}ms"
+                if "data_wait_ms" in row else "")
         print(f"iter {iteration}/{self.max_iter} "
               f"loss {row.get('total_loss', float('nan')):.4f} "
               f"eR {row.get('error_R_deg', float('nan')):.2f}deg "
               f"et {row.get('error_t_cm', float('nan')):.2f}cm "
-              f"lr {lr:.2e} eta {eta/60:.1f}min", flush=True)
+              f"lr {lr:.2e} {row['iters_per_sec']:.2f}it/s{wait} "
+              f"eta {eta/60:.1f}min", flush=True)
 
 
 def train_gdrn(cfg: Config, records, model_bank, records2=None,
@@ -160,7 +174,8 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
 
     def prep(host_batch, key):
         from ..ops.color_aug import color_aug_by_type, replace_background
-        pool_mode = bool(host_batch.get("pool_mode"))
+        # structural pool-mode detection (key presence is static under jit)
+        pool_mode = "pool_bufs" in host_batch
         k_bg, k_color, k_depth = jax.random.split(key, 3)
         mask_full_idx = None
         if pool_mode:
@@ -279,6 +294,17 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
                 input_res=pc.input_res, bp_depth=cfg.input.bp_depth)
         return batch
 
+    # ONE compiled program for the whole per-iteration batch prep (pool
+    # gathers + bg replace + color aug + online GT): the eager version
+    # dispatched dozens of small XLA computations per iter, whose host-side
+    # overhead starved the device on 1-core hosts (measured 143 ms/iter CLI
+    # vs 116 ms/iter pure step at bs 48)
+    _prep_jit = jax.jit(prep)
+
+    def prep(host_batch, key):  # noqa: F811 - jitted shadow
+        return _prep_jit({k: v for k, v in host_batch.items()
+                          if k != "pool_mode"}, key)
+
     batch0 = prep(host, jax.random.PRNGKey(0))
     variables = model.init(
         {"params": jax.random.PRNGKey(cfg.train.seed)},
@@ -310,6 +336,7 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
 
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
     host_batch = host
+    data_wait_s = 0.0
     for it in range(start_iter, total_iters):
         rng, k_aug, k_drop = jax.random.split(rng, 3)
         batch = prep(host_batch, k_aug)
@@ -317,7 +344,10 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
         progress = jnp.asarray(it / max(total_iters, 1), jnp.float32)
         state, metrics = step_fn(state, batch, k_drop, progress)
         if (it + 1) % cfg.train.log_period == 0 or it == start_iter:
-            writer.write(it + 1, jax.device_get(metrics), float(sched(it)))
+            n_win = (it - start_iter) % cfg.train.log_period + 1
+            writer.write(it + 1, jax.device_get(metrics), float(sched(it)),
+                         data_wait_ms=data_wait_s / n_win * 1000.0)
+            data_wait_s = 0.0
         if (it + 1) % ckpt_period == 0 or (it + 1) == total_iters:
             ckpt.save(state, it + 1)
         if (eval_fn is not None and cfg.train.eval_period > 0
@@ -348,6 +378,8 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
                 writer.tb.add_image("train/batch_vis", canvas, it + 1)
                 writer.tb.flush()
         if it + 1 < total_iters:
+            t_w = time.perf_counter()
             host_batch = next(iter(loader))
+            data_wait_s += time.perf_counter() - t_w
     loader.close()
     return state
