@@ -113,6 +113,21 @@ def _run_chunked(kernel, arrays: Dict[str, np.ndarray], n: int, chunk: int,
         return None
     c = _chunk_sizes(n, chunk)
     outs = []
+    # Chunks are dispatched async and materialized a few steps behind
+    # (bounded in-flight window): on hosts with per-dispatch latency (the
+    # remote-device tunnel here pays ~seconds per round trip) sequential
+    # dispatch+sync made every chunk pay the full RTT (measured 0.62
+    # s/target, 45 min for one YCB-V scoring). The window bounds device
+    # memory to max_inflight chunk inputs while the transfers/executions
+    # of later chunks overlap earlier chunks' results coming back.
+    max_inflight = 4
+    pending = []  # (device_out, n_i)
+
+    def drain_one():
+        out, n_i = pending.pop(0)
+        out = np.asarray(out)
+        outs.append(out[:n_i] if pair_axis == 0 else out[..., :n_i])
+
     for i0 in range(0, n, c):
         sl = {k: v[i0:i0 + c] for k, v in arrays.items()}
         if gather:
@@ -123,8 +138,12 @@ def _run_chunked(kernel, arrays: Dict[str, np.ndarray], n: int, chunk: int,
             sl = {k: np.concatenate(
                 [v, np.repeat(v[-1:], c - n_i, axis=0)], axis=0)
                 for k, v in sl.items()}
-        out = np.asarray(kernel(**{k: jnp.asarray(v) for k, v in sl.items()}))
-        outs.append(out[:n_i] if pair_axis == 0 else out[..., :n_i])
+        pending.append(
+            (kernel(**{k: jnp.asarray(v) for k, v in sl.items()}), n_i))
+        if len(pending) > max_inflight:
+            drain_one()
+    while pending:
+        drain_one()
     return np.concatenate(outs, axis=pair_axis)
 
 

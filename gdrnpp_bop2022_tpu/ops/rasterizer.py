@@ -49,10 +49,19 @@ def rasterize_mesh(
     height: int,
     width: int,
     chunk: int = 1024,
+    pixel_chunk: int = 32768,
 ):
     """Z-buffer rasterization of one mesh.
 
     Returns (depth (H, W), attr_map (H, W, A)); depth==0 where no surface.
+
+    pixel_chunk bounds the live (P, T) edge-function block: full-image
+    rendering (vsd, depth refine) at e.g. 540x720 x 1024 faces x a vmapped
+    pair batch would otherwise materialize tens of GB in one fusion
+    (measured: a 25 GB allocation OOM'd the T-LESS full-vsd compile).
+    Pixel blocks run under lax.map, so peak memory is
+    O(batch * pixel_chunk * chunk) regardless of image size; small targets
+    (the 64^2 training crops) stay single-block, single-scan.
     """
     u, v, z = _project_verts(verts_cam, K)
     inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
@@ -72,58 +81,79 @@ def rasterize_mesh(
     faces_c = faces_p.reshape(n_chunks, chunk, 3)
 
     A = attrs.shape[-1]
-    init_zbuf = jnp.full((height * width,), _BIG, dtype=jnp.float32)
-    init_attr = jnp.zeros((height * width, A), dtype=jnp.float32)
 
-    def body(carry, face_chunk):
-        zbuf, attrbuf = carry
-        i0, i1, i2 = face_chunk[:, 0], face_chunk[:, 1], face_chunk[:, 2]
-        x0, y0 = u[i0], v[i0]
-        x1, y1 = u[i1], v[i1]
-        x2, y2 = u[i2], v[i2]
+    def run_block(pxb, pyb):
+        """Face-chunk scan over one block of pixels (Pc,)."""
+        init_zbuf = jnp.full(pxb.shape, _BIG, dtype=jnp.float32)
+        init_attr = jnp.zeros(pxb.shape + (A,), dtype=jnp.float32)
 
-        # signed doubled area; degenerate (padding) triangles have area 0
-        area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)        # (T,)
-        valid_tri = (jnp.abs(area) > 1e-12) & (z[i0] > 1e-6) & (z[i1] > 1e-6) & (z[i2] > 1e-6)
-        inv_area = jnp.where(valid_tri, 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1.0, area), 0.0)
+        def body(carry, face_chunk):
+            zbuf, attrbuf = carry
+            i0, i1, i2 = face_chunk[:, 0], face_chunk[:, 1], face_chunk[:, 2]
+            x0, y0 = u[i0], v[i0]
+            x1, y1 = u[i1], v[i1]
+            x2, y2 = u[i2], v[i2]
 
-        # edge functions at every pixel: (P, T)
-        ex = px[:, None]
-        ey = py[:, None]
-        w0 = ((x1 - ex) * (y2 - ey) - (x2 - ex) * (y1 - ey)) * inv_area[None, :]
-        w1 = ((x2 - ex) * (y0 - ey) - (x0 - ex) * (y2 - ey)) * inv_area[None, :]
-        w2 = 1.0 - w0 - w1
-        # small tolerance closes seams on shared triangle edges where fp
-        # rounding leaves both barycentrics epsilon-negative
-        eps = -1e-5
-        inside = (w0 >= eps) & (w1 >= eps) & (w2 >= eps) & valid_tri[None, :]
+            # signed doubled area; degenerate (padding) triangles: area 0
+            area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)    # (T,)
+            valid_tri = (jnp.abs(area) > 1e-12) & (z[i0] > 1e-6) & (z[i1] > 1e-6) & (z[i2] > 1e-6)
+            inv_area = jnp.where(valid_tri, 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1.0, area), 0.0)
 
-        # perspective-correct depth: 1/z interpolates linearly in screen space
-        izp = w0 * inv_z[i0][None, :] + w1 * inv_z[i1][None, :] + w2 * inv_z[i2][None, :]
-        zp = 1.0 / jnp.maximum(izp, 1e-12)
-        zp = jnp.where(inside & (zp > 1e-6), zp, _BIG)               # (P, T)
+            # edge functions at every pixel of the block: (Pc, T)
+            ex = pxb[:, None]
+            ey = pyb[:, None]
+            w0 = ((x1 - ex) * (y2 - ey) - (x2 - ex) * (y1 - ey)) * inv_area[None, :]
+            w1 = ((x2 - ex) * (y0 - ey) - (x0 - ex) * (y2 - ey)) * inv_area[None, :]
+            w2 = 1.0 - w0 - w1
+            # small tolerance closes seams on shared triangle edges where
+            # fp rounding leaves both barycentrics epsilon-negative
+            eps = -1e-5
+            inside = (w0 >= eps) & (w1 >= eps) & (w2 >= eps) & valid_tri[None, :]
 
-        best = jnp.argmin(zp, axis=1)                                # (P,)
-        best_z = jnp.take_along_axis(zp, best[:, None], axis=1)[:, 0]
+            # perspective-correct depth: 1/z is linear in screen space
+            izp = w0 * inv_z[i0][None, :] + w1 * inv_z[i1][None, :] + w2 * inv_z[i2][None, :]
+            zp = 1.0 / jnp.maximum(izp, 1e-12)
+            zp = jnp.where(inside & (zp > 1e-6), zp, _BIG)           # (Pc, T)
 
-        closer = best_z < zbuf
-        # gather the winning triangle's data per pixel
-        bi0 = i0[best]; bi1 = i1[best]; bi2 = i2[best]
-        bw0 = jnp.take_along_axis(w0, best[:, None], axis=1)[:, 0]
-        bw1 = jnp.take_along_axis(w1, best[:, None], axis=1)[:, 0]
-        bw2 = 1.0 - bw0 - bw1
-        # perspective-correct attribute interp
-        iz = bw0 * inv_z[bi0] + bw1 * inv_z[bi1] + bw2 * inv_z[bi2]
-        attr_num = (bw0[:, None] * attrs[bi0] * inv_z[bi0][:, None]
-                    + bw1[:, None] * attrs[bi1] * inv_z[bi1][:, None]
-                    + bw2[:, None] * attrs[bi2] * inv_z[bi2][:, None])
-        attr_p = attr_num / jnp.maximum(iz[:, None], 1e-12)
+            best = jnp.argmin(zp, axis=1)                            # (Pc,)
+            best_z = jnp.take_along_axis(zp, best[:, None], axis=1)[:, 0]
 
-        zbuf = jnp.where(closer, best_z, zbuf)
-        attrbuf = jnp.where(closer[:, None], attr_p, attrbuf)
-        return (zbuf, attrbuf), None
+            closer = best_z < zbuf
+            # gather the winning triangle's data per pixel
+            bi0 = i0[best]; bi1 = i1[best]; bi2 = i2[best]
+            bw0 = jnp.take_along_axis(w0, best[:, None], axis=1)[:, 0]
+            bw1 = jnp.take_along_axis(w1, best[:, None], axis=1)[:, 0]
+            bw2 = 1.0 - bw0 - bw1
+            # perspective-correct attribute interp
+            iz = bw0 * inv_z[bi0] + bw1 * inv_z[bi1] + bw2 * inv_z[bi2]
+            attr_num = (bw0[:, None] * attrs[bi0] * inv_z[bi0][:, None]
+                        + bw1[:, None] * attrs[bi1] * inv_z[bi1][:, None]
+                        + bw2[:, None] * attrs[bi2] * inv_z[bi2][:, None])
+            attr_p = attr_num / jnp.maximum(iz[:, None], 1e-12)
 
-    (zbuf, attrbuf), _ = jax.lax.scan(body, (init_zbuf, init_attr), faces_c)
+            zbuf = jnp.where(closer, best_z, zbuf)
+            attrbuf = jnp.where(closer[:, None], attr_p, attrbuf)
+            return (zbuf, attrbuf), None
+
+        (zbuf, attrbuf), _ = jax.lax.scan(body, (init_zbuf, init_attr),
+                                          faces_c)
+        return zbuf, attrbuf
+
+    P = height * width
+    if P <= pixel_chunk:
+        zbuf, attrbuf = run_block(px, py)
+    else:
+        pad_p = (-P) % pixel_chunk
+        # padding pixels sit far outside every triangle -> never hit
+        pxp = jnp.pad(px, (0, pad_p), constant_values=-1e6)
+        pyp = jnp.pad(py, (0, pad_p), constant_values=-1e6)
+        n_pb = (P + pad_p) // pixel_chunk
+        zbuf, attrbuf = jax.lax.map(
+            lambda blk: run_block(blk[0], blk[1]),
+            (pxp.reshape(n_pb, pixel_chunk), pyp.reshape(n_pb, pixel_chunk)))
+        zbuf = zbuf.reshape(-1)[:P]
+        attrbuf = attrbuf.reshape(-1, A)[:P]
+
     hit = zbuf < _BIG * 0.5
     depth = jnp.where(hit, zbuf, 0.0).reshape(height, width)
     attr_map = jnp.where(hit[:, None], attrbuf, 0.0).reshape(height, width, A)
@@ -157,15 +187,33 @@ def render_depth_xyz_batch(
 def render_depth_xyz(verts, faces, rots, transes, Ks, height, width):
     """Backend dispatcher: the Pallas kernel on TPU (measured 18% faster,
     bit-exact — ops/pallas_raster.py), the XLA scan elsewhere (CPU tests,
-    interpret-unfriendly shapes)."""
+    interpret-unfriendly shapes).
+
+    The Pallas kernel tiles the flattened pixel array in 1024-blocks, so it
+    needs H*W % 1024 == 0. Shapes that miss (T-LESS 540x720 = 388800) are
+    rendered a few columns WIDER (same K — extra columns are just extra
+    pixels right of the image) and cropped back: exact, and it keeps the
+    full-image vsd / depth-refine paths on the fast kernel instead of the
+    lax.map'd XLA fallback."""
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    P = height * width
-    if on_tpu and P % 1024 == 0:
-        from .pallas_raster import render_depth_xyz_pallas
-        return render_depth_xyz_pallas(verts, faces, rots, transes, Ks,
-                                       height, width)
+    if on_tpu:
+        P = height * width
+        if P % 1024 == 0:
+            from .pallas_raster import render_depth_xyz_pallas
+            return render_depth_xyz_pallas(verts, faces, rots, transes, Ks,
+                                           height, width)
+        # smallest pad_w with (H * (W + pad_w)) % 1024 == 0; exists below
+        # 1024/gcd(H, 1024). Cap the overhead at +25% columns.
+        for pad_w in range(1, 1024):
+            if (height * (width + pad_w)) % 1024 == 0:
+                break
+        if pad_w <= max(width // 4, 64):
+            from .pallas_raster import render_depth_xyz_pallas
+            d, x = render_depth_xyz_pallas(verts, faces, rots, transes, Ks,
+                                           height, width + pad_w)
+            return d[..., :width], x[..., :width, :]
     return render_depth_xyz_batch(verts, faces, rots, transes, Ks,
                                   height, width)

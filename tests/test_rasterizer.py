@@ -87,3 +87,17 @@ def test_batched_render_poses():
     # xyz map holds object-space coords (z=0 plane)
     xyz = np.asarray(xyz)
     assert np.abs(xyz[0, 24, 24, 2]) < 1e-5
+
+
+def test_pixel_chunked_matches_single_block():
+    """Pixel-tiled rendering (full-image vsd memory bound) is bit-equal to
+    the single-block path: 48x48 = 2304 px forced into 256-px blocks."""
+    verts, faces = _square_mesh(z=1.2)
+    K = jnp.asarray([[80.0, 0, 24.0], [0, 80.0, 24.0], [0, 0, 1]],
+                    jnp.float32)
+    d1, a1 = rasterize_mesh(jnp.asarray(verts), jnp.asarray(verts),
+                            jnp.asarray(faces), K, 48, 48)
+    d2, a2 = rasterize_mesh(jnp.asarray(verts), jnp.asarray(verts),
+                            jnp.asarray(faces), K, 48, 48, pixel_chunk=256)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
