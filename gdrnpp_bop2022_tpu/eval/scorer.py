@@ -49,8 +49,12 @@ VSD_TAUS = np.arange(0.05, 0.51, 0.05)
 VSD_THS = np.arange(0.05, 0.51, 0.05)
 
 _PAIR_CHUNK = 2048       # pose-pairs per device call (cheap error types)
-_VSD_WIN_CHUNK = 64      # pairs per windowed-vsd render call
-_VSD_FULL_CHUNK = 16     # pairs per full-image-vsd render call
+_VSD_WIN_CHUNK = 256     # pairs per windowed-vsd render call (128^2 crops
+                         # are tiny; bigger chunks amortize dispatch RTT)
+_VSD_FULL_CHUNK = 16     # pairs per full-image-vsd render call (chunk 32
+                         # OOMs the 16 GB chip at 640x480 — the per-tau
+                         # cost maps and both rendered attr maps are live
+                         # per pair; measured r4)
 
 
 def _group(results):
@@ -95,6 +99,79 @@ def _chunk_sizes(n, chunk):
     while c < min(n, chunk):
         c *= 2
     return c
+
+
+# --- module-level jitted pair kernels ------------------------------------
+# Banks are ARGUMENTS (device-resident jnp arrays), not closure constants:
+# a per-call closure would (a) bake the banks into the executable as
+# constants and (b) defeat the jit cache, recompiling every kernel for
+# every score_bop_results call — a 7-dataset sweep paid ~6 compiles x 7
+# datasets through the remote-compile tunnel. With banks as args the
+# compile is paid once per (chunk-size, bank-shape) and reused.
+
+@jax.jit
+def _mssd_kernel(Re, te, Rg, tg, label, pts_bank, symR_b, symT_b, symV_b):
+    return mssd_batch(Re, te, Rg, tg,
+                      jnp.take(pts_bank, label, axis=0),
+                      jnp.take(symR_b, label, axis=0),
+                      jnp.take(symT_b, label, axis=0),
+                      jnp.take(symV_b, label, axis=0))
+
+
+@jax.jit
+def _mspd_kernel(Re, te, Rg, tg, K, label, pts_bank, symR_b, symT_b, symV_b):
+    return mspd_batch(Re, te, Rg, tg, K,
+                      jnp.take(pts_bank, label, axis=0),
+                      jnp.take(symR_b, label, axis=0),
+                      jnp.take(symT_b, label, axis=0),
+                      jnp.take(symV_b, label, axis=0))
+
+
+@jax.jit
+def _add_kernel(Re, te, Rg, tg, label, pts_bank):
+    return add_batch(Re, te, Rg, tg, jnp.take(pts_bank, label, axis=0))
+
+
+@jax.jit
+def _aux_kernel(Re, te, Rg, tg, K, label, pts_bank, symR_b, symV_b):
+    P = jnp.take(pts_bank, label, axis=0)
+    # sym-closest GT rotation for re/proj (reference custom evaluator:
+    # get_closest_rot over the discrete sym set for SYM_OBJS,
+    # gdrn_custom_evaluator.py:687-723 — rotations only, translation
+    # untouched). Non-sym classes have only the identity valid, so
+    # this degenerates to plain re/proj for them.
+    sR = jnp.take(symR_b, label, axis=0)          # (n, S, 3, 3)
+    sV = jnp.take(symV_b, label, axis=0)          # (n, S)
+    Rg_s = jnp.einsum("nij,nsjk->nsik", Rg, sR)
+    res = jax.vmap(re_batch, in_axes=(None, 1), out_axes=1)(Re, Rg_s)
+    res = jnp.where(sV, res, jnp.inf)             # (n, S)
+    k = jnp.argmin(res, axis=1)
+    Rg_best = jnp.take_along_axis(
+        Rg_s, k[:, None, None, None], axis=1)[:, 0]
+    return jnp.stack([
+        add_batch(Re, te, Rg, tg, P),
+        adi_batch(Re, te, Rg, tg, P),
+        jnp.min(res, axis=1),
+        te_batch(te, tg),
+        proj_batch(Re, te, Rg_best, tg, K, P)], axis=0)   # (5, n)
+
+
+@jax.jit
+def _vsd_win_kernel(Re, te, Rg, tg, depth, K, label, diam,
+                    verts_bank, faces_bank, taus, delta):
+    return vsd_batch(Re, te, Rg, tg, depth, K,
+                     jnp.take(verts_bank, label, axis=0),
+                     jnp.take(faces_bank, label, axis=0),
+                     diam, taus, delta)
+
+
+@jax.jit
+def _vsd_full_kernel(Re, te, Rg, tg, depth, K, label, diam,
+                     verts_bank, faces_bank, taus, delta):
+    return vsd_batch_full(Re, te, Rg, tg, depth, K,
+                          jnp.take(verts_bank, label, axis=0),
+                          jnp.take(faces_bank, label, axis=0),
+                          diam, taus, delta)
 
 
 def _run_chunked(kernel, arrays: Dict[str, np.ndarray], n: int, chunk: int,
@@ -174,7 +251,7 @@ def score_bop_results(
     do_vsd = "vsd" in errors and depth_test_getter is not None
     r_mspd = im_width / 640.0
 
-    # --- device-side banks + jitted pair kernels --------------------------
+    # --- device-side banks, bound to the module-level jitted kernels ------
     pts_bank = jnp.asarray(model_bank.points.astype(np.float32))
     symR_np, symT_np, symV_np = _sym_banks(model_bank)
     symR_b = jnp.asarray(symR_np)
@@ -184,62 +261,17 @@ def score_bop_results(
     faces_bank = jnp.asarray(model_bank.faces)
     taus_j = jnp.asarray(VSD_TAUS, jnp.float32)
 
-    @jax.jit
-    def mssd_kernel(Re, te, Rg, tg, label):
-        return mssd_batch(Re, te, Rg, tg,
-                          jnp.take(pts_bank, label, axis=0),
-                          jnp.take(symR_b, label, axis=0),
-                          jnp.take(symT_b, label, axis=0),
-                          jnp.take(symV_b, label, axis=0))
-
-    @jax.jit
-    def mspd_kernel(Re, te, Rg, tg, K, label):
-        return mspd_batch(Re, te, Rg, tg, K,
-                          jnp.take(pts_bank, label, axis=0),
-                          jnp.take(symR_b, label, axis=0),
-                          jnp.take(symT_b, label, axis=0),
-                          jnp.take(symV_b, label, axis=0))
-
-    @jax.jit
-    def add_kernel(Re, te, Rg, tg, label):
-        return add_batch(Re, te, Rg, tg, jnp.take(pts_bank, label, axis=0))
-
-    @jax.jit
-    def aux_kernel(Re, te, Rg, tg, K, label):
-        P = jnp.take(pts_bank, label, axis=0)
-        # sym-closest GT rotation for re/proj (reference custom evaluator:
-        # get_closest_rot over the discrete sym set for SYM_OBJS,
-        # gdrn_custom_evaluator.py:687-723 — rotations only, translation
-        # untouched). Non-sym classes have only the identity valid, so
-        # this degenerates to plain re/proj for them.
-        sR = jnp.take(symR_b, label, axis=0)          # (n, S, 3, 3)
-        sV = jnp.take(symV_b, label, axis=0)          # (n, S)
-        Rg_s = jnp.einsum("nij,nsjk->nsik", Rg, sR)
-        res = jax.vmap(re_batch, in_axes=(None, 1), out_axes=1)(Re, Rg_s)
-        res = jnp.where(sV, res, jnp.inf)             # (n, S)
-        k = jnp.argmin(res, axis=1)
-        Rg_best = jnp.take_along_axis(
-            Rg_s, k[:, None, None, None], axis=1)[:, 0]
-        return jnp.stack([
-            add_batch(Re, te, Rg, tg, P),
-            adi_batch(Re, te, Rg, tg, P),
-            jnp.min(res, axis=1),
-            te_batch(te, tg),
-            proj_batch(Re, te, Rg_best, tg, K, P)], axis=0)   # (5, n)
-
-    @jax.jit
-    def vsd_win_kernel(Re, te, Rg, tg, depth, K, label, diam):
-        return vsd_batch(Re, te, Rg, tg, depth, K,
-                         jnp.take(verts_bank, label, axis=0),
-                         jnp.take(faces_bank, label, axis=0),
-                         diam, taus_j, vsd_delta)
-
-    @jax.jit
-    def vsd_full_kernel(Re, te, Rg, tg, depth, K, label, diam):
-        return vsd_batch_full(Re, te, Rg, tg, depth, K,
-                              jnp.take(verts_bank, label, axis=0),
-                              jnp.take(faces_bank, label, axis=0),
-                              diam, taus_j, vsd_delta)
+    sym_kw = dict(pts_bank=pts_bank, symR_b=symR_b, symT_b=symT_b,
+                  symV_b=symV_b)
+    mssd_kernel = partial(_mssd_kernel, **sym_kw)
+    mspd_kernel = partial(_mspd_kernel, **sym_kw)
+    add_kernel = partial(_add_kernel, pts_bank=pts_bank)
+    aux_kernel = partial(_aux_kernel, pts_bank=pts_bank, symR_b=symR_b,
+                         symV_b=symV_b)
+    vsd_kw = dict(verts_bank=verts_bank, faces_bank=faces_bank, taus=taus_j,
+                  delta=jnp.float32(vsd_delta))
+    vsd_win_kernel = partial(_vsd_win_kernel, **vsd_kw)
+    vsd_full_kernel = partial(_vsd_full_kernel, **vsd_kw)
 
     # --- phase 1 (host): per-target jobs + flattened pose pairs ----------
     jobs = []        # per target with >=1 est: slicing info into the pair axis

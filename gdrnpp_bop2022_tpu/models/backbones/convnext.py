@@ -58,6 +58,52 @@ def _dw_scatter_basis(H: int, W: int, ksize: int = 7) -> jnp.ndarray:
     return jnp.asarray(_dw_scatter_basis_np(H, W, ksize), jnp.bfloat16)
 
 
+@lru_cache(maxsize=None)
+def _dw_rowband_selector_np(W: int, ksize: int = 7):
+    """Constant selector T[x, q, dx] in {0,1}: output column x of a
+    SAME-padded width-ksize row reads input column q through tap dx
+    (q = x + dx - r; out-of-range taps stay zero). (W, W, ksize), cached
+    per width as numpy for the same tracer-leak reason as the scatter
+    basis above."""
+    import numpy as np
+    r = ksize // 2
+    T = np.zeros((W, W, ksize), np.float32)
+    for x in range(W):
+        for dx in range(ksize):
+            q = x + dx - r
+            if 0 <= q < W:
+                T[x, q, dx] = 1.0
+    return T
+
+
+def _dwconv_rowband(x: jax.Array, kernel: jax.Array, bias: jax.Array) -> jax.Array:
+    """Depthwise 7x7 conv as ONE banded MXU matmul over (row-shift, column).
+
+    The scatter-matmul above (`_dwconv_mxu`) needs an (H*W, H*W) basis per
+    channel — fine at 16^2, hopeless at 64^2. This lowering exploits the
+    conv's separability over rows instead: stack the 7 row-shifted views
+    of x, then contract jointly over (shift dy, input column q) with a
+    banded matrix M[c, x, dy, q] = k[dy, x-q+r, c] that is only
+    (C, W, 7, W). That is a per-channel (B*H, 7W) @ (7W, W) matmul —
+    ksize*W/49 ~ 9x the conv's FLOPs, but on the MXU (~46x the VPU's
+    unit speed) with a 448-deep contraction that tiles well. Exact (each
+    M entry is a single kernel tap — no basis summation), same (7,7,1,C)
+    parameters, gradients flow through both einsums.
+    """
+    B, H, W, C = x.shape
+    ksize = kernel.shape[0]
+    r = ksize // 2
+    k = kernel.reshape(ksize, ksize, C).astype(x.dtype)       # (dy, dx, c)
+    T = jnp.asarray(_dw_rowband_selector_np(W, ksize), x.dtype)
+    # M[c, x, dy, q] = sum_dx k[dy, dx, c] T[x, q, dx]  (selector: 1 tap)
+    M = jnp.einsum("dec,xqe->cxdq", k, T)                     # (C, W, 7, W)
+    xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0)))
+    x7 = jnp.stack([xp[:, dy:dy + H] for dy in range(ksize)],
+                   axis=2)                                    # (B, H, 7, W, C)
+    out = jnp.einsum("cxdq,bydqc->byxc", M, x7)
+    return out + bias.astype(x.dtype)
+
+
 def _dwconv_mxu(x: jax.Array, kernel: jax.Array, bias: jax.Array) -> jax.Array:
     """Depthwise 7x7 conv as two MXU matmuls.
 
@@ -139,8 +185,10 @@ class ConvNeXtBlock(nn.Module):
     # fp32 checkpoint-parity verification.
     gelu_exact: bool = False
     # depthwise-conv lowering: "conv" (XLA VPU conv), "mxu" (scatter-matmul,
-    # see _dwconv_mxu), or "auto" (mxu when H*W <= 256 where the scatter
-    # matrix stays small; the measured crossover)
+    # see _dwconv_mxu), "rowband" (banded row-matmul, see _dwconv_rowband —
+    # for the larger 64^2/32^2 grids where the scatter basis is too big),
+    # or "auto" (mxu when H*W <= 256 where the scatter matrix stays small;
+    # the measured crossover)
     dw_mode: str = "auto"
     # int8 serving path for the two pointwise MLPs (the bulk of backbone
     # FLOPs): dynamic per-tensor activation / per-channel weight
@@ -153,13 +201,18 @@ class ConvNeXtBlock(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         shortcut = x
         # depthwise 7x7
-        use_mxu = self.dw_mode == "mxu" or (
-            self.dw_mode == "auto" and x.shape[1] * x.shape[2] <= 256)
-        if use_mxu:
+        small = x.shape[1] * x.shape[2] <= 256
+        use_mxu = self.dw_mode == "mxu" or (self.dw_mode == "auto" and small)
+        use_rowband = self.dw_mode == "rowband" or (
+            self.dw_mode == "auto_rowband" and not small)
+        if self.dw_mode == "auto_rowband" and small:
+            use_mxu = True
+        if use_mxu or use_rowband:
             # identical param tree to nn.Conv (dwconv/{kernel,bias}) so
             # checkpoints are interchangeable between lowerings
             kernel, bias = _DwConvParams(self.dim, name="dwconv")()
-            h = _dwconv_mxu(x, kernel, bias)
+            h = (_dwconv_mxu(x, kernel, bias) if use_mxu
+                 else _dwconv_rowband(x, kernel, bias))
         else:
             h = nn.Conv(self.dim, (7, 7), padding="SAME",
                         feature_group_count=self.dim, dtype=self.dtype,

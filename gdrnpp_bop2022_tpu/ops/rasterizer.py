@@ -184,6 +184,18 @@ def render_depth_xyz_batch(
     return jax.vmap(one)(verts, faces, rots, transes, Ks)
 
 
+def pallas_pad_w(height: int, width: int) -> int:
+    """Smallest pad_w >= 0 with (H * (W + pad_w)) % 1024 == 0 — the width
+    padding that puts an arbitrary image shape on the Pallas kernel's
+    1024-pixel tiling (exists below 1024/gcd(H, 1024)). Returns -1 when the
+    needed padding exceeds the +25% column overhead cap (then the XLA
+    fallback is the better program)."""
+    for pad_w in range(0, 1024):
+        if (height * (width + pad_w)) % 1024 == 0:
+            return pad_w if pad_w <= max(width // 4, 64) else -1
+    return -1
+
+
 def render_depth_xyz(verts, faces, rots, transes, Ks, height, width):
     """Backend dispatcher: the Pallas kernel on TPU (measured 18% faster,
     bit-exact — ops/pallas_raster.py), the XLA scan elsewhere (CPU tests,
@@ -200,17 +212,12 @@ def render_depth_xyz(verts, faces, rots, transes, Ks, height, width):
     except Exception:
         on_tpu = False
     if on_tpu:
-        P = height * width
-        if P % 1024 == 0:
+        pad_w = pallas_pad_w(height, width)
+        if pad_w == 0:
             from .pallas_raster import render_depth_xyz_pallas
             return render_depth_xyz_pallas(verts, faces, rots, transes, Ks,
                                            height, width)
-        # smallest pad_w with (H * (W + pad_w)) % 1024 == 0; exists below
-        # 1024/gcd(H, 1024). Cap the overhead at +25% columns.
-        for pad_w in range(1, 1024):
-            if (height * (width + pad_w)) % 1024 == 0:
-                break
-        if pad_w <= max(width // 4, 64):
+        if pad_w > 0:
             from .pallas_raster import render_depth_xyz_pallas
             d, x = render_depth_xyz_pallas(verts, faces, rots, transes, Ks,
                                            height, width + pad_w)

@@ -9,6 +9,14 @@ import but before any backend is initialized.
 
 import os
 
+# The environment's remote-TPU plugin (sitecustomize) registers itself in
+# every python process whose env carries its sentinel var and programmatically
+# dials the device tunnel, overriding JAX_PLATFORMS=cpu — during a tunnel
+# outage that hangs CPU-only SUBPROCESS tests (demo/CLI/multihost smokes) at
+# jax init. Scrub the sentinel so child interpreters skip the plugin; this
+# process itself is handled by the jax.config.update below.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

@@ -94,3 +94,43 @@ def test_int8_mlp_param_tree_and_accuracy():
     denom = np.linalg.norm(r16) + 1e-12
     rel = np.linalg.norm(r16 - r8) / denom
     assert rel < 0.05, rel
+
+
+def test_rowband_forward_and_grad_parity():
+    """Banded row-matmul lowering (_dwconv_rowband) — for the 64^2/32^2
+    grids where the (H*W)^2 scatter basis is too big. Exact same params;
+    forward + gradient parity with the XLA conv path in fp32."""
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 16, 16, 32), jnp.float32)
+    b_conv = ConvNeXtBlock(32, dw_mode="conv", dtype=jnp.float32)
+    b_rb = ConvNeXtBlock(32, dw_mode="rowband", dtype=jnp.float32)
+    v = b_conv.init(jax.random.PRNGKey(3), x)
+    v_rb = b_rb.init(jax.random.PRNGKey(3), x)
+    t1 = jax.tree.map(lambda a: (a.shape, a.dtype), v)
+    t2 = jax.tree.map(lambda a: (a.shape, a.dtype), v_rb)
+    assert t1 == t2
+    np.testing.assert_allclose(np.asarray(b_conv.apply(v, x)),
+                               np.asarray(b_rb.apply(v, x)),
+                               atol=2e-5, rtol=1e-5)
+
+    def loss(variables, mod):
+        return jnp.sum(jnp.sin(mod.apply(variables, x)))
+
+    from jax.flatten_util import ravel_pytree
+    flat_c, _ = ravel_pytree(jax.grad(loss)(v, b_conv))
+    flat_r, _ = ravel_pytree(jax.grad(loss)(v, b_rb))
+    np.testing.assert_allclose(np.asarray(flat_c), np.asarray(flat_r),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_auto_rowband_in_full_backbone():
+    # auto_rowband: scatter-mxu at small stages, rowband at larger — must
+    # match the all-conv lowering on the same params
+    x = jnp.asarray(np.random.RandomState(4).randn(1, 64, 64, 3), jnp.float32)
+    m_rb = ConvNeXt(depths=(1, 1, 2, 1), dims=(16, 32, 64, 128),
+                    dw_mode="auto_rowband", dtype=jnp.float32)
+    m_conv = ConvNeXt(depths=(1, 1, 2, 1), dims=(16, 32, 64, 128),
+                      dw_mode="conv", dtype=jnp.float32)
+    v = m_conv.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(m_rb.apply(v, x)),
+                               np.asarray(m_conv.apply(v, x)),
+                               atol=5e-5, rtol=1e-4)

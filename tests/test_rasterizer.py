@@ -101,3 +101,18 @@ def test_pixel_chunked_matches_single_block():
                             jnp.asarray(faces), K, 48, 48, pixel_chunk=256)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_pallas_pad_w_dispatch_math():
+    """Width padding that puts arbitrary image shapes on the Pallas
+    kernel's 1024-px tiling (render_depth_xyz dispatcher)."""
+    from gdrnpp_bop2022_tpu.ops.rasterizer import pallas_pad_w
+    # BOP test-image shapes: (H, W) -> expected behavior
+    assert pallas_pad_w(480, 640) == 0          # 307200 % 1024 == 0
+    pw = pallas_pad_w(540, 720)                 # T-LESS: 540x720
+    assert pw > 0 and (540 * (720 + pw)) % 1024 == 0
+    assert pw == 48                             # 540*768 = 414720 = 405*1024
+    pw2 = pallas_pad_w(1544, 2064)              # ITODD GT camera
+    assert pw2 >= 0 and (pw2 == -1 or (1544 * (2064 + pw2)) % 1024 == 0)
+    # a pathological shape where padding would cost >25%: falls back
+    assert pallas_pad_w(1, 100) == -1           # needs +924 columns

@@ -67,3 +67,22 @@ def test_strip_ckpt_roundtrip(tmp_path):
     strip(ckpt_dir, out_ema, use_ema=True)
     rel_ema = ocp.CheckpointManager(out_ema).restore(7)
     np.testing.assert_allclose(rel_ema["params"]["w"], np.full((3, 3), 0.5))
+
+
+def test_persistent_compilation_cache_helper(tmp_path, monkeypatch):
+    """Opt-in via GDRN_JAX_CACHE: unset -> no-op (returns None, config
+    untouched); set -> points jax_compilation_cache_dir at the dir and
+    creates it."""
+    import jax
+    from gdrnpp_bop2022_tpu.utils.profiling import (
+        enable_persistent_compilation_cache)
+    monkeypatch.delenv("GDRN_JAX_CACHE", raising=False)
+    assert enable_persistent_compilation_cache() is None
+    cache_dir = str(tmp_path / "jaxcache" / "sub")
+    monkeypatch.setenv("GDRN_JAX_CACHE", cache_dir)
+    try:
+        assert enable_persistent_compilation_cache() == cache_dir
+        assert os.path.isdir(cache_dir)
+        assert jax.config.jax_compilation_cache_dir == cache_dir
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)

@@ -116,6 +116,9 @@ def main():
             jax.config.update("jax_platforms", os.environ["GDRN_PLATFORM"])
         except Exception:
             pass
+    from gdrnpp_bop2022_tpu.utils.profiling import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()  # compiles cost minutes here
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-size", type=int, default=48)
     ap.add_argument("--n-batches", type=int, default=20)

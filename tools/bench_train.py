@@ -93,6 +93,9 @@ def main():
             jax.config.update("jax_platforms", os.environ["GDRN_PLATFORM"])
         except Exception:
             pass
+    from gdrnpp_bop2022_tpu.utils.profiling import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()  # compiles cost minutes here
     for bs in args.batch_sizes:
         try:
             print(json.dumps(bench_bs(bs, args.remat, args.num_points)),

@@ -79,6 +79,9 @@ def main():
                     help="optional GDRN ckpt dir pattern, '{ds}' substituted; "
                          "defaults to the in-sweep training output in --mode both")
     args = ap.parse_args()
+    from gdrnpp_bop2022_tpu.utils.profiling import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()  # compiles cost minutes here
 
     os.makedirs(args.out, exist_ok=True)
     summary = {}

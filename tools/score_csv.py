@@ -41,6 +41,9 @@ def main():
     args = ap.parse_args()
 
     import numpy as np
+    from gdrnpp_bop2022_tpu.utils.profiling import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()  # compiles cost minutes here
     from gdrnpp_bop2022_tpu.bop.inout import load_bop_results, load_test_targets
     from gdrnpp_bop2022_tpu.bop.models3d import ModelBank
     from gdrnpp_bop2022_tpu.datasets.bop_data import (index_bop_split,

@@ -32,6 +32,9 @@ def _force_platform():
             jax.config.update("jax_platforms", os.environ["GDRN_PLATFORM"])
         except Exception:
             pass
+    from gdrnpp_bop2022_tpu.utils.profiling import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()  # compiles cost minutes here
 
 
 def run_eval(cfg, meta, bank, ckpt_dir=None):

@@ -69,6 +69,9 @@ def main():
             jax.config.update("jax_platforms", os.environ["GDRN_PLATFORM"])
         except Exception:
             pass
+    from gdrnpp_bop2022_tpu.utils.profiling import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()  # compiles cost minutes here
     import jax.numpy as jnp
 
     from gdrnpp_bop2022_tpu.datasets.meta import get_meta

@@ -65,6 +65,9 @@ def main():
             jax.config.update("jax_platforms", os.environ["GDRN_PLATFORM"])
         except Exception:
             pass
+    from gdrnpp_bop2022_tpu.utils.profiling import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()  # compiles cost minutes here
 
     from gdrnpp_bop2022_tpu.config import (YoloxConfig, parse_opts,
                                            replace_cfg)
