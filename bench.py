@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import sys
+import threading
 import time
 import traceback
 from functools import partial
@@ -43,16 +44,74 @@ def _section(name: str, fn, out: dict):
         out[f"{name}_error"] = f"{type(e).__name__}: {e} ({tb})"[:400]
 
 
+# Shared with the deadline watchdog so a mid-run tunnel stall still emits
+# every section completed so far instead of nothing.
+_OUT: dict = {}
+_PRINTED = threading.Event()
+
+
+def _emit(out: dict, rc: int | None = None):
+    """Print the one JSON line exactly once (main path and watchdogs race
+    for it; first wins)."""
+    if not _PRINTED.is_set():
+        _PRINTED.set()
+        print(json.dumps(out), flush=True)
+    if rc is not None:
+        import os
+        os._exit(rc)
+
+
+def _start_watchdogs(init_done, init_timeout=None, deadline=None):
+    """Two failure modes of the remote-device tunnel that would otherwise
+    hang this process forever and lose the round's numbers (r3 lost ALL of
+    them to an earlier fragility; an outage during r4 motivated these):
+      1. backend init never returns -> after `init_timeout`s emit a JSON
+         line with core_error and exit 1;
+      2. a section's device_get stalls mid-run -> at `deadline`s emit
+         whatever sections already finished (partial > nothing) and exit 0
+         if the core number landed, else 1.
+    Defaults (override via GDRN_BENCH_INIT_TIMEOUT / GDRN_BENCH_DEADLINE):
+    420 s covers a slow-but-alive tunnel dial; 3000 s covers the measured
+    full run (~20 min of remote compiles) with headroom."""
+    import os
+    if init_timeout is None:
+        init_timeout = float(os.environ.get("GDRN_BENCH_INIT_TIMEOUT", 420))
+    if deadline is None:
+        deadline = float(os.environ.get("GDRN_BENCH_DEADLINE", 3000))
+
+    def init_watch():
+        if not init_done.wait(init_timeout):
+            _emit({"metric": "gdrn_roi_inference_throughput", "value": 0.0,
+                   "unit": "ROI/s/chip", "vs_baseline": 0.0,
+                   "core_error": f"device backend init timed out after "
+                                 f"{init_timeout:.0f}s (tunnel outage?)"},
+                  rc=1)
+
+    def deadline_watch():
+        time.sleep(deadline)
+        out = dict(_OUT)
+        out["deadline_error"] = (f"bench exceeded {deadline:.0f}s; emitting "
+                                 "completed sections only")
+        _emit(out, rc=0 if out.get("value") else 1)
+
+    threading.Thread(target=init_watch, daemon=True).start()
+    threading.Thread(target=deadline_watch, daemon=True).start()
+
+
 def main():
-    out = {}
+    init_done = threading.Event()
+    _start_watchdogs(init_done)
+    jax.devices()  # force backend init under the init watchdog
+    init_done.set()
+    out = _OUT
     try:
         core = gdrn_core_bench()
     except Exception as e:  # noqa: BLE001
         # even a core failure must emit the one JSON line for the driver
-        print(json.dumps({
+        _emit({
             "metric": "gdrn_roi_inference_throughput", "value": 0.0,
             "unit": "ROI/s/chip", "vs_baseline": 0.0,
-            "core_error": f"{type(e).__name__}: {e}"[:400]}))
+            "core_error": f"{type(e).__name__}: {e}"[:400]})
         raise
     out.update(core["json"])
     model, params, batch, pc = (core["model"], core["params"],
@@ -81,7 +140,7 @@ def main():
     gc.collect()
     jax.clear_caches()
     _section("yolox", yolox_bench, out)
-    print(json.dumps(out))
+    _emit(out)
 
 
 def gdrn_core_bench():

@@ -37,6 +37,7 @@ run prof_both     1200 python tools/profile_model.py \
     --config configs/gdrn/ycbv_convnext_base.py --batch-size 512 \
     --opts model.pose_net.backbone.int8_mlp=True \
            model.pose_net.backbone.dw_mode=auto_rowband
+run train_cli     2400 python tools/bench_train_cli.py --iters 60
 run scorer_auto   3600 python tools/bench_scorer.py \
     --datasets lmo,tless,tudl,icbin,itodd,hb,ycbv --vsd-mode auto
 run scorer_full   5400 python tools/bench_scorer.py \
