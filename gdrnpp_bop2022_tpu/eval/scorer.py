@@ -417,42 +417,79 @@ def score_bop_results(
                                               depth_bank)})
 
         # --- phase 3 (host): per-target per-threshold matching -----------
+        # Fast path: when a target has a single estimate OR a single GT,
+        # the toolkit's greedy matching degenerates to "any pair under the
+        # threshold", i.e. count(th) = (table.min() < th) — so the entire
+        # threshold grid (10 mssd + 10 mspd + 100 vsd matchings/target)
+        # collapses to three vector compares on per-job minima, computed
+        # for ALL jobs at once by reduceat over the contiguous pair
+        # slices. Only genuinely multi-instance targets (ne>1 AND ng>1 —
+        # some icbin/itodd/tless scenes) run the per-threshold greedy
+        # loop. Bit-identical counts: greedy with one row picks the
+        # arg-min column iff its error clears the threshold; with one
+        # column the first row under the threshold matches — either way
+        # count(th) = (min < th).
+        offs = np.array([j["off"] for j in jobs], np.int64)
+        mins_mssd = (np.minimum.reduceat(mssd_flat, offs)
+                     if mssd_flat is not None else None)
+        mins_mspd = (np.minimum.reduceat(mspd_flat, offs)
+                     if mspd_flat is not None else None)
+        mins_vsd = (np.minimum.reduceat(vsd_flat, offs, axis=0)
+                    if vsd_flat is not None else None)
         matched_pairs = []      # flat pair indices matched by min-add
         matched_meta = []       # diam per matched pair
         matched_label = []      # class label per matched pair
-        for j in jobs:
+        for ji, j in enumerate(jobs):
             ne, ng, off = j["ne"], j["ng"], j["off"]
             sl = slice(off, off + ne * ng)
-            if mssd_flat is not None:
-                table = mssd_flat[sl].reshape(ne, ng)
-                for k, th in enumerate(MSSD_THS):
-                    mssd_tp[k] += match_count(table, th * j["diam"])
-            if mspd_flat is not None:
-                table = mspd_flat[sl].reshape(ne, ng)
-                for k, th in enumerate(MSPD_THS):
-                    mspd_tp[k] += match_count(table, th * r_mspd)
-            if vsd_flat is not None and j["depth"] is not None:
-                tabs = vsd_flat[sl].reshape(ne, ng, -1)
-                for ti in range(len(VSD_TAUS)):
-                    for k, th in enumerate(VSD_THS):
-                        vsd_tp[ti, k] += match_count(tabs[:, :, ti], th)
+            simple = ne == 1 or ng == 1
+            if simple:
+                if mssd_flat is not None:
+                    mssd_tp += mins_mssd[ji] < MSSD_THS * j["diam"]
+                if mspd_flat is not None:
+                    mspd_tp += mins_mspd[ji] < MSPD_THS * r_mspd
+                if vsd_flat is not None and j["depth"] is not None:
+                    vsd_tp += mins_vsd[ji][:, None] < VSD_THS[None, :]
+            else:
+                if mssd_flat is not None:
+                    table = mssd_flat[sl].reshape(ne, ng)
+                    for k, th in enumerate(MSSD_THS):
+                        mssd_tp[k] += match_count(table, th * j["diam"])
+                if mspd_flat is not None:
+                    table = mspd_flat[sl].reshape(ne, ng)
+                    for k, th in enumerate(MSPD_THS):
+                        mspd_tp[k] += match_count(table, th * r_mspd)
+                if vsd_flat is not None and j["depth"] is not None:
+                    tabs = vsd_flat[sl].reshape(ne, ng, -1)
+                    for ti in range(len(VSD_TAUS)):
+                        for k, th in enumerate(VSD_THS):
+                            vsd_tp[ti, k] += match_count(tabs[:, :, ti], th)
 
             # aux errors: matched once by min-add (custom-evaluator
             # semantics, gdrn_custom_evaluator.py — not part of BOP AR)
             add_table = add_flat[sl].reshape(ne, ng)
-            used = set()
-            n_matched = 0
-            for i in range(ne):
-                cand = [(add_table[i, jj], jj) for jj in range(ng)
-                        if jj not in used]
-                if not cand:
-                    break
-                _, jj = min(cand)
-                used.add(jj)
-                matched_pairs.append(off + i * ng + jj)
+            if simple:
+                # one row: greedy = arg-min column; one column: the first
+                # (highest-score) estimate takes the only GT
+                jj = int(np.argmin(add_table)) if ne == 1 else 0
+                matched_pairs.append(off + jj)
                 matched_meta.append(j["diam"])
                 matched_label.append(label_of[j["key"][2]])
-                n_matched += 1
+                n_matched = 1
+            else:
+                used = set()
+                n_matched = 0
+                for i in range(ne):
+                    cand = [(add_table[i, jj], jj) for jj in range(ng)
+                            if jj not in used]
+                    if not cand:
+                        break
+                    _, jj = min(cand)
+                    used.add(jj)
+                    matched_pairs.append(off + i * ng + jj)
+                    matched_meta.append(j["diam"])
+                    matched_label.append(label_of[j["key"][2]])
+                    n_matched += 1
             for _ in range(ng - n_matched):
                 for k in err_rows:
                     err_rows[k].append((np.inf, j["diam"]))
