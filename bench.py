@@ -47,16 +47,23 @@ def _section(name: str, fn, out: dict):
 # Shared with the deadline watchdog so a mid-run tunnel stall still emits
 # every section completed so far instead of nothing.
 _OUT: dict = {}
-_PRINTED = threading.Event()
+_PRINT_LOCK = threading.Lock()
+_printed = False
 
 
 def _emit(out: dict, rc: int | None = None):
     """Print the one JSON line exactly once (main path and watchdogs race
-    for it; first wins)."""
-    if not _PRINTED.is_set():
-        _PRINTED.set()
-        print(json.dumps(out), flush=True)
-    if rc is not None:
+    for it; the lock makes the test-and-set atomic so a watchdog firing
+    at the same instant the main path finishes can't print a second
+    line). A watchdog that loses the race must also not exit the process
+    out from under a successful main path."""
+    global _printed
+    with _PRINT_LOCK:
+        won = not _printed
+        _printed = True
+        if won:
+            print(json.dumps(out), flush=True)
+    if rc is not None and won:
         import os
         os._exit(rc)
 

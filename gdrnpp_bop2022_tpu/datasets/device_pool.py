@@ -72,9 +72,17 @@ class DevicePool:
     def __contains__(self, key) -> bool:
         return key in self._slot
 
-    def ensure(self, keys: Sequence, fetch: Callable) -> np.ndarray:
-        """Return (len(keys),) int32 slot array; uploads misses."""
+    def ensure(self, keys: Sequence, fetch: Callable,
+               protect: Sequence = ()) -> np.ndarray:
+        """Return (len(keys),) int32 slot array; uploads misses.
+
+        protect: extra keys whose slots must not be evicted — REQUIRED
+        when one batch issues several ensure() calls against the same
+        pool (visible + amodal masks share the mask pool): without it the
+        second call may evict slots the first call just assigned, and the
+        batch's snapshot would silently gather the wrong pixels."""
         in_batch = set(keys)
+        protected = in_batch | set(protect)
         miss_keys = []
         for k in in_batch:
             if k in self._slot:
@@ -89,15 +97,16 @@ class DevicePool:
                 if self._free:
                     s = self._free.pop()
                 else:
-                    # evict the least-recently-used key not in this batch
+                    # evict the least-recently-used key that is neither in
+                    # this batch nor protected by a sibling ensure() call
                     for old in self._slot:
-                        if old not in in_batch:
+                        if old not in protected:
                             s = self._slot.pop(old)
                             break
                     else:
                         raise RuntimeError(
                             f"DevicePool capacity {self.capacity} smaller "
-                            f"than one batch's unique keys")
+                            f"than one batch's unique+protected keys")
                 self._slot[k] = s
                 slots.append(s)
             vals = np.stack([np.asarray(fetch(k)) for k in miss_keys])

@@ -332,8 +332,13 @@ class GdrnTrainLoader:
         mv_keys = [r.mask_visib_path or f"ones:{self.im_w}x{self.im_h}"
                    for r in recs]
         mf_keys = [r.mask_full_path or k for r, k in zip(recs, mv_keys)]
-        mask_idx = pools.mask.ensure(mv_keys, fetch_mask_u8)
-        mask_full_idx = pools.mask.ensure(mf_keys, fetch_mask_u8)
+        # visible + amodal masks share one pool: each ensure must protect
+        # the other's keys or the second call can evict slots the first
+        # just assigned (the snapshot would gather the wrong masks)
+        mask_idx = pools.mask.ensure(mv_keys, fetch_mask_u8,
+                                     protect=mf_keys)
+        mask_full_idx = pools.mask.ensure(mf_keys, fetch_mask_u8,
+                                          protect=mv_keys)
 
         boxes = np.stack([self._select_bbox(r) for r in recs])
         centers, scales = dzi_jitter_host(

@@ -104,7 +104,7 @@ class YoloxTrainLoader:
                  mosaic_prob: float = 1.0, mixup_prob: float = 0.5,
                  hsv_prob: float = 1.0, flip_prob: float = 0.5,
                  degrees: float = 10.0, translate: float = 0.1,
-                 mosaic_scale=(0.5, 1.5), mixup_scale=(0.5, 1.5),
+                 mosaic_scale=(0.1, 2.0), mixup_scale=(0.5, 1.5),
                  shear: float = 2.0,
                  enable_aug: bool = True, seed: int = 0, prefetch: int = 2):
         """Geometry-aug knobs mirror the reference MosaicDetection recipe

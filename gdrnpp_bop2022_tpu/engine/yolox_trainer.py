@@ -145,6 +145,7 @@ def train_yolox(records, num_classes: int, output_dir: str,
                 eval_metric: str = "AP50",
                 multiscale_range: int = 0,
                 multiscale_period: int = 10,
+                random_size: Optional[tuple] = None,
                 mosaic_prob: Optional[float] = None,
                 mixup_prob: Optional[float] = None,
                 ema_decay: float = 0.9998,
@@ -158,6 +159,12 @@ def train_yolox(records, num_classes: int, output_dir: str,
     checkpoint is kept in <output_dir>/ckpt_yolox_best.
     multiscale_range=N: every multiscale_period iters pick a random square
     size in input_size ± N*32 (reference random_resize).
+    random_size=(lo, hi): sample the square size uniformly from
+    [lo*32, hi*32] instead — the reference's exp.random_size semantics
+    (det/yolox/exp/yolox_base.py random_resize), NOT centered on
+    input_size, so recipes whose eval size is off the range's midpoint
+    (or a CLI --input-size override) still train at the pinned scales.
+    Takes precedence over multiscale_range.
     """
     from ..datasets.yolox_loader import YoloxTrainLoader
 
@@ -240,12 +247,19 @@ def train_yolox(records, num_classes: int, output_dir: str,
             loader.mixup_prob = 0.0
             loader.enable_aug = False
         step_fn = step_noaug if in_noaug else step_aug
-        if multiscale_range > 0 and it % multiscale_period == 0:
+        if ((random_size is not None or multiscale_range > 0)
+                and it % multiscale_period == 0):
             # random square size on the 32-stride grid (reference :413-416);
             # no_aug phase trains at the eval size
-            cur_size = (input_size if in_noaug else
-                        32 * ms_rng.randint(input_size // 32 - multiscale_range,
-                                            input_size // 32 + multiscale_range + 1))
+            if in_noaug:
+                cur_size = input_size
+            elif random_size is not None:
+                cur_size = 32 * ms_rng.randint(random_size[0],
+                                               random_size[1] + 1)
+            else:
+                cur_size = 32 * ms_rng.randint(
+                    input_size // 32 - multiscale_range,
+                    input_size // 32 + multiscale_range + 1)
         rng, k = jax.random.split(rng)
         batch = jax.tree.map(jnp.asarray, host_batch)
         if cur_size != input_size:

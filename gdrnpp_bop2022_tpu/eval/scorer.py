@@ -217,7 +217,7 @@ def _run_chunked(kernel, arrays: Dict[str, np.ndarray], n: int, chunk: int,
                 for k, v in sl.items()}
         pending.append(
             (kernel(**{k: jnp.asarray(v) for k, v in sl.items()}), n_i))
-        if len(pending) > max_inflight:
+        if len(pending) >= max_inflight:
             drain_one()
     while pending:
         drain_one()

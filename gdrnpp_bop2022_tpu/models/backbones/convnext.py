@@ -218,7 +218,12 @@ class ConvNeXtBlock(nn.Module):
                         feature_group_count=self.dim, dtype=self.dtype,
                         param_dtype=jnp.float32, name="dwconv")(x)
         h = LayerNormFp32(name="norm")(h)
-        if self.int8_mlp:
+        # int8 is gated on deterministic: jnp.round has zero gradient, so
+        # a train step (deterministic=False) with int8_mlp=True in the
+        # config would silently stop the MLP weights from learning. Same
+        # param tree either way, so an int8-serving config can train bf16
+        # and serve int8 without conversion.
+        if self.int8_mlp and deterministic:
             w1, b1 = _MlpParams(4 * self.dim, self.dim, name="pwconv1")()
             h = _dense_int8(h, w1, b1)
             h = nn.gelu(h, approximate=not self.gelu_exact)

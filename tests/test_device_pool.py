@@ -69,6 +69,38 @@ def test_device_pool_lru_and_eviction():
         pass
 
 
+def test_device_pool_protect_sibling_ensure():
+    """Two ensure() calls against one pool in the same batch (visible +
+    amodal masks share the mask pool): the second call must not evict
+    slots the first just assigned — with protect= it raises instead of
+    silently corrupting the batch's gathered pixels."""
+    def fetch(k):
+        return np.full((4, 4), ord(k[0]), np.uint8)
+
+    pool = DevicePool(3, (4, 4))
+    s_mv = pool.ensure(["a", "b"], fetch, protect=["c", "d"])
+    try:
+        pool.ensure(["c", "d"], fetch, protect=["a", "b"])
+        assert False, "expected capacity error (nothing evictable)"
+    except RuntimeError:
+        pass
+    # the first call's slots still hold the right content
+    buf = np.asarray(pool.buf)
+    for key, slot in zip(["a", "b"], s_mv):
+        np.testing.assert_array_equal(buf[slot],
+                                      np.full((4, 4), ord(key), np.uint8))
+    # with enough capacity both calls coexist: protect only blocks
+    # eviction of the sibling's keys, old unrelated keys still evict
+    pool2 = DevicePool(4, (4, 4))
+    pool2.ensure(["x", "y"], fetch)              # old keys, evictable
+    s1 = pool2.ensure(["a", "b"], fetch, protect=["c", "d"])
+    s2 = pool2.ensure(["c", "d"], fetch, protect=["a", "b"])
+    buf = np.asarray(pool2.buf)
+    for key, slot in zip(["a", "b", "c", "d"], list(s1) + list(s2)):
+        np.testing.assert_array_equal(buf[slot],
+                                      np.full((4, 4), ord(key), np.uint8))
+
+
 def test_pool_mode_content_equals_stacked(tmp_path):
     """Same seed -> the pool-mode batch must describe the SAME training
     content as the stacked batch; only the representation differs."""

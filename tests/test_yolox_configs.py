@@ -99,3 +99,44 @@ def test_train_yolox_config_smoke(tmp_path):
             if l.strip()]
     assert rows and np.isfinite(
         __import__("json").loads(rows[-1])["total_loss"])
+
+
+def test_eval_cli_consumes_recipe_test_knobs(tmp_path):
+    """tools/test_yolox.py --config must drive eval from the recipe's
+    cfg.test (conf/nms thresholds, tta, scales, conf_thr_tta) and model
+    knobs (size/input_size/norm) — previously these were write-only
+    config fields and the CLI silently used its own flag defaults."""
+    import argparse
+
+    sys.path.insert(0, REPO)
+    from tools.test_yolox import resolve_eval_cfg
+
+    def ns(**over):
+        base = dict(config=None, opts=[], dataset=None, size=None,
+                    input_size=None, norm=None, conf_thr=None,
+                    nms_thr=None, tta=None, tta_scales=None)
+        base.update(over)
+        return argparse.Namespace(**base)
+
+    # recipe mode: every cfg.test knob flows through
+    cfg, conf = resolve_eval_cfg(
+        ns(config=os.path.join(REPO, "configs/yolox/ycbv.py")))
+    assert cfg.dataset == "ycbv" and cfg.size == "yolox_x"
+    assert cfg.input_size == 640
+    assert cfg.test.tta is True
+    assert cfg.test.tta_scales == (1.0, 0.75, 0.83, 1.12, 1.25)
+    assert conf == cfg.test.conf_thr_tta          # tta -> lower threshold
+
+    # flags and --opts override the recipe
+    cfg, conf = resolve_eval_cfg(
+        ns(config=os.path.join(REPO, "configs/yolox/ycbv.py"),
+           tta=False, conf_thr=0.2, opts=["test.nms_thr=0.7"]))
+    assert cfg.test.tta is False and conf == 0.2
+    assert cfg.test.nms_thr == 0.7
+
+    # flag-only legacy mode keeps the old CLI defaults (no tta)
+    cfg, conf = resolve_eval_cfg(ns(dataset="tless"))
+    assert cfg.dataset == "tless"
+    assert cfg.test.tta is False
+    assert conf == 0.01 and cfg.test.nms_thr == 0.65
+    assert cfg.test.tta_scales == (0.75, 1.0, 1.25)

@@ -18,13 +18,61 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def resolve_eval_cfg(args, error=None):
+    """Merge recipe config + CLI flags into the effective eval knobs.
+
+    Recipe-driven eval: cfg.test pins the BOP'22 knobs (conf/nms
+    thresholds, TTA + scales, the lower conf_thr_tta); flags override.
+    Flag-only mode (no --config) keeps the legacy CLI defaults (no tta,
+    conf 0.01 / nms 0.65, scales 0.75/1.0/1.25). Returns (cfg, conf_thr)
+    where conf_thr already resolves the tta-vs-plain threshold choice."""
+    from gdrnpp_bop2022_tpu.config import (YoloxConfig, parse_opts,
+                                           replace_cfg)
+    if args.config:
+        from tools.train_yolox import load_yolox_config
+        cfg = load_yolox_config(args.config)
+    else:
+        if args.dataset is None:
+            (error or sys.exit)("either --config or --dataset is required")
+        cfg = YoloxConfig(dataset=args.dataset)
+        cfg = replace_cfg(cfg, {"test.tta": False,
+                                "test.tta_scales": (0.75, 1.0, 1.25)})
+    flag_over = {k: v for k, v in {
+        "dataset": args.dataset, "size": args.size,
+        "input_size": args.input_size, "norm": args.norm,
+        "test.conf_thr": args.conf_thr, "test.nms_thr": args.nms_thr,
+        "test.tta": args.tta,
+        "test.tta_scales": (tuple(float(s)
+                                  for s in args.tta_scales.split(","))
+                            if args.tta_scales else None),
+    }.items() if v is not None}
+    if flag_over:
+        cfg = replace_cfg(cfg, flag_over)
+    if getattr(args, "opts", None):
+        cfg = replace_cfg(cfg, parse_opts(args.opts))
+    # tta evals at a lower box confidence (reference conf_thr_tta)
+    conf_thr = cfg.test.conf_thr_tta if cfg.test.tta else cfg.test.conf_thr
+    if args.conf_thr is not None:
+        conf_thr = args.conf_thr
+    return cfg, conf_thr
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--config", default=None,
+                    help="recipe file exposing `cfg: YoloxConfig` "
+                         "(configs/yolox/<dataset>.py) — eval knobs come "
+                         "from cfg.test (conf/nms thresholds, tta, "
+                         "scales, tta conf threshold) and the model from "
+                         "cfg.size/input_size/norm; flags override")
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="dotted config overrides, e.g. test.nms_thr=0.7")
+    ap.add_argument("--dataset", default=None)
     ap.add_argument("--root", default="datasets/BOP_DATASETS")
     ap.add_argument("--split", default="test")
-    ap.add_argument("--size", default="yolox_x")
-    ap.add_argument("--input-size", type=int, default=640)
+    ap.add_argument("--size", default=None)
+    ap.add_argument("--input-size", type=int, default=None)
+    ap.add_argument("--norm", default=None, choices=["GN", "BN"])
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--allow-random-weights", action="store_true",
                     help="permit running WITHOUT a checkpoint (random "
@@ -32,13 +80,14 @@ def main():
                          "required so detections are never silently "
                          "produced by an untrained detector")
     ap.add_argument("--out", default=None)
-    ap.add_argument("--conf-thr", type=float, default=0.01)
-    ap.add_argument("--nms-thr", type=float, default=0.65)
-    ap.add_argument("--tta", action="store_true",
+    ap.add_argument("--conf-thr", type=float, default=None)
+    ap.add_argument("--nms-thr", type=float, default=None)
+    ap.add_argument("--tta", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="multi-scale + horizontal-flip test-time "
                          "augmentation with merged NMS (reference "
                          "det/yolox/models/yolox.py:53)")
-    ap.add_argument("--tta-scales", default="0.75,1.0,1.25",
+    ap.add_argument("--tta-scales", default=None,
                     help="comma-separated TTA scale factors")
     ap.add_argument("--meta-from-config", default=None,
                     help="config .py to exec first (registers custom "
@@ -84,7 +133,10 @@ def main():
         detections_to_bop_json, coco_map)
     from gdrnpp_bop2022_tpu.bop.inout import save_json
 
-    meta = get_meta(args.dataset)
+    cfg, conf_thr = resolve_eval_cfg(args, error=ap.error)
+    use_tta = cfg.test.tta
+
+    meta = get_meta(cfg.dataset)
     out_dir = args.out or f"output/yolox/{meta.name}"
     os.makedirs(out_dir, exist_ok=True)
     records = index_bop_split(os.path.join(args.root, meta.name, args.split),
@@ -95,8 +147,8 @@ def main():
                                           "instances": []})
         by_img[r.scene_im_id]["instances"].append(r)
 
-    model = build_yolox(meta.num_classes, args.size)
-    S = args.input_size
+    model = build_yolox(meta.num_classes, cfg.size, norm=cfg.norm)
+    S = cfg.input_size
     params = None
     if args.ckpt:
         from gdrnpp_bop2022_tpu.engine.checkpoint import CheckpointManager
@@ -110,18 +162,18 @@ def main():
         assert restored is not None
         params = restored.ema_params
 
-    if args.tta:
+    if use_tta:
         from gdrnpp_bop2022_tpu.models.yolox.yolox import make_tta_inference
         infer = make_tta_inference(
-            model, scales=tuple(float(s) for s in args.tta_scales.split(",")),
-            flip=True, conf_thr=args.conf_thr, nms_thr=args.nms_thr)
+            model, scales=tuple(cfg.test.tta_scales),
+            flip=True, conf_thr=conf_thr, nms_thr=cfg.test.nms_thr)
     else:
         @jax.jit
         def infer(params, img):
             outs = model.apply({"params": params}, img)
             flat, grids, st = flatten_outputs(outs, (8, 16, 32))
-            return postprocess_nms(flat, grids, st, conf_thr=args.conf_thr,
-                                   nms_thr=args.nms_thr)
+            return postprocess_nms(flat, grids, st, conf_thr=conf_thr,
+                                   nms_thr=cfg.test.nms_thr)
 
     import cv2
     per_image, scales, gts, dets_eval = {}, {}, {}, {}

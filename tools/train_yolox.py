@@ -114,9 +114,6 @@ def main():
                    else cfg.total_epochs * epoch_len)
     no_aug_iters = (args.no_aug_iters if args.no_aug_iters is not None
                     else min(cfg.no_aug_epochs * epoch_len, total_iters))
-    lo, hi = cfg.random_size
-    ms_range = max(cfg.input_size // 32 - lo, hi - cfg.input_size // 32)
-
     import dataclasses
     train_yolox(
         det_records, num_classes, out, size=cfg.size,
@@ -127,7 +124,7 @@ def main():
         warmup_iters=cfg.warmup_epochs * epoch_len,
         grad_clip=cfg.grad_clip,
         aug=dataclasses.asdict(cfg.aug),
-        multiscale_range=ms_range,
+        random_size=cfg.random_size,
         multiscale_period=cfg.multiscale_period,
         ema_decay=cfg.ema_decay, norm=cfg.norm, seed=cfg.seed,
         ckpt_period=max(1, cfg.ckpt_period_epochs * epoch_len),
