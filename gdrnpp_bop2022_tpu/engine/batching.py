@@ -48,6 +48,17 @@ def roi_coord_2d_from_grid(grid: jax.Array, im_w: int, im_h: int) -> jax.Array:
     return grid / wh
 
 
+def roi_coord_2d_rel_from_grid(grid: jax.Array, centers: jax.Array,
+                               scales: jax.Array) -> jax.Array:
+    """PNP_NET.COORD_2D_TYPE="rel" (reference data_loader.py:518-521):
+    roi_coord_2d_rel = (bbox_center - abs_pixel_coords) / scale, i.e. the
+    pixel's offset from the (possibly DZI-jittered) crop center in units of
+    the crop side. `grid` carries absolute source-pixel coords, which is
+    exactly `roi_coord_2d * [im_W, im_H]` in the reference's formula."""
+    return ((centers[:, None, None, :] - grid)
+            / scales[:, None, None, None].astype(grid.dtype))
+
+
 def compute_test_rois(
     images: jax.Array,        # (M, H, W, 3) uint8/float raw images
     img_idx: jax.Array,       # (B,) int
@@ -57,6 +68,7 @@ def compute_test_rois(
     output_res: int,
     pixel_mean,
     pixel_std,
+    coord_2d_type: str = "abs",
 ):
     """Batched test-time ROI crops + coord-2d. The image crop runs as two
     MXU matmuls (ops.crop.roi_crop_resize_mxu) — far faster on TPU than the
@@ -70,12 +82,19 @@ def compute_test_rois(
     grid_out = affine_grid_from_boxes(centers.astype(jnp.float32),
                                       scales.astype(jnp.float32), output_res)
     im_h, im_w = images.shape[1], images.shape[2]
-    roi_coord_2d = roi_coord_2d_from_grid(grid_out, im_w, im_h)
+    if coord_2d_type == "rel":
+        roi_coord_2d = roi_coord_2d_rel_from_grid(
+            grid_out, centers.astype(jnp.float32),
+            scales.astype(jnp.float32))
+    elif coord_2d_type == "abs":
+        roi_coord_2d = roi_coord_2d_from_grid(grid_out, im_w, im_h)
+    else:
+        raise ValueError(f"coord_2d_type={coord_2d_type!r}: abs | rel")
     return roi_img, roi_coord_2d
 
 
 @partial(jax.jit, static_argnames=("input_res", "output_res", "pixel_mean",
-                                   "pixel_std"))
+                                   "pixel_std", "coord_2d_type"))
 def build_test_batch(
     images: jax.Array,
     img_idx: jax.Array,
@@ -88,6 +107,7 @@ def build_test_batch(
     pixel_mean: tuple = (0.0, 0.0, 0.0),
     pixel_std: tuple = (255.0, 255.0, 255.0),
     dzi_pad_scale: float = 1.5,
+    coord_2d_type: str = "abs",
 ):
     """Full detection->ROI-batch transform on device.
 
@@ -103,7 +123,7 @@ def build_test_batch(
                          float(max(im_h, im_w)))
     roi_img, roi_coord_2d = compute_test_rois(
         images, img_idx, centers, scales, input_res, output_res,
-        pixel_mean, pixel_std)
+        pixel_mean, pixel_std, coord_2d_type=coord_2d_type)
     return {
         "roi_img": roi_img,
         "roi_labels": labels.astype(jnp.int32),
@@ -158,7 +178,8 @@ def build_depth_rois(
 
 
 @partial(jax.jit, static_argnames=("input_res", "output_res", "num_regions",
-                                   "pixel_mean", "pixel_std", "xyz_bin"))
+                                   "pixel_mean", "pixel_std", "xyz_bin",
+                                   "coord_2d_type", "xyz_bp"))
 def build_train_batch_online(
     images: jax.Array,        # (M, H, W, 3)
     img_idx: jax.Array,       # (B,)
@@ -185,6 +206,8 @@ def build_train_batch_online(
     mask_full_idx: "jax.Array | None" = None,  # (B,) separate index into
                               # mask_full (device frame pools key visib and
                               # amodal masks independently); None: mask_idx
+    coord_2d_type: str = "abs",
+    xyz_bp: bool = True,
 ):
     """Training batch with ONLINE GT: renders per-ROI depth with the crop-K,
     derives object-space XYZ, masks, region labels and SITE targets — the
@@ -196,7 +219,7 @@ def build_train_batch_online(
     B = centers.shape[0]
     roi_img, roi_coord_2d = compute_test_rois(
         images, img_idx, centers, scales, input_res, output_res,
-        pixel_mean, pixel_std)
+        pixel_mean, pixel_std, coord_2d_type=coord_2d_type)
 
     # --- online GT: rasterize depth+xyz at the crop-K ------------------
     crop_Ks = centered_crop_K(Ks.astype(jnp.float32), centers, scales, output_res)
@@ -206,6 +229,26 @@ def build_train_batch_online(
         roi_verts, roi_faces, gt_rots, gt_transes, crop_Ks,
         output_res, output_res)
     mask_obj = (depth > 1e-6).astype(jnp.float32)
+    if xyz_bp:
+        # XYZ_BP=True (reference default, gdrn_base.py:19 +
+        # engine_utils.py:131-155 calc_xyz_bp_batch): the XYZ GT comes from
+        # the rendered DEPTH backprojected with the crop-K and GT pose,
+        # xyz = R^T (K^{-1} [u, v, 1] d - t) — screen-linear depth, not the
+        # per-channel-interpolated object coords (xyz_bp=False keeps those,
+        # the reference's "directly rendering xyz" else-branch).
+        # Pixel centers sit at integer coords (ops/rasterizer.py grid).
+        u = jnp.arange(output_res, dtype=jnp.float32)
+        px, py = jnp.meshgrid(u, u, indexing="xy")          # (R, R)
+        fx = crop_Ks[:, 0, 0][:, None, None]
+        fy = crop_Ks[:, 1, 1][:, None, None]
+        cx = crop_Ks[:, 0, 2][:, None, None]
+        cy = crop_Ks[:, 1, 2][:, None, None]
+        X = (px[None] - cx) / fx * depth
+        Y = (py[None] - cy) / fy * depth
+        p_cam = jnp.stack([X, Y, depth], axis=-1)           # (B, R, R, 3)
+        p_obj = jnp.einsum("bijc,bck->bijk",
+                           p_cam - gt_transes[:, None, None, :], gt_rots)
+        xyz = p_obj * mask_obj[..., None]
 
     # masks: crop the dataset-provided full-image masks (nearest)
     mv = _gather_images(mask_visib[..., None].astype(jnp.float32), mask_idx)

@@ -56,7 +56,7 @@ def run_gdrn_inference(
     pixel_mean=(0.0, 0.0, 0.0),
     pixel_std=(255.0, 255.0, 255.0),
     post_mode: str = "direct",      # direct | ransac_pnp | uncertainty_pnp
-                                    # | depth_refine
+                                    # | net_iter_pnp | depth_refine
     model_bank=None,                # ModelBank, needed for depth_refine
     depth_refine_iters: int = 2,
     depth_refine_threshold: float = 0.8,
@@ -72,6 +72,8 @@ def run_gdrn_inference(
     pipeline_depth: int = 1,         # >1: keep this many batches in flight
                                      # (host loads batch k+1 while the
                                      # device runs batch k)
+    coord_2d_type: str = "abs",      # PNP_NET.COORD_2D_TYPE model input
+                                     # parameterization (abs | rel)
 ) -> List[dict]:
     """Run pose inference over all test batches; returns BOP result rows
     (R (3,3), t in meters — CSV conversion to mm happens at save time).
@@ -102,7 +104,7 @@ def run_gdrn_inference(
         batch = build_test_batch(
             images, img_idx, boxes, Ks, labels, extents,
             input_res=input_res, output_res=output_res,
-            pixel_mean=mean, pixel_std=std)
+            pixel_mean=mean, pixel_std=std, coord_2d_type=coord_2d_type)
         if with_depth_input:
             # RGB-D dual-stream input (reference data_loader.py:686-699:
             # test depth loaded, backprojected, nearest-cropped at input_res)
@@ -115,8 +117,21 @@ def run_gdrn_inference(
         rot, trans = out["rot"], out["trans"]
         if want_dense:
             xyz, mask_prob = decode_dense_outputs(out, mask_loss_type)
+            # the dense-PnP correspondences need ABSOLUTE normalized image
+            # coords regardless of the model-input parameterization
+            # (the reference evaluator rebuilds coord_2d from the full
+            # image too, gdrn_evaluator.py:270-280)
+            abs_c2d = batch["roi_coord_2d"]
+            if coord_2d_type != "abs":
+                from .batching import (affine_grid_from_boxes,
+                                       roi_coord_2d_from_grid)
+                grid = affine_grid_from_boxes(
+                    batch["roi_centers"],
+                    output_res / batch["resize_ratios"], output_res)
+                abs_c2d = roi_coord_2d_from_grid(
+                    grid, images.shape[2], images.shape[1])
             extra = {"xyz": xyz, "mask_prob": mask_prob,
-                     "coord_2d": batch["roi_coord_2d"],
+                     "coord_2d": abs_c2d,
                      "centers": batch["roi_centers"],
                      "scales": output_res / batch["resize_ratios"]}
         else:
@@ -125,13 +140,18 @@ def run_gdrn_inference(
 
     @jax.jit
     def post_pnp(extra, Ks, labels, im_wh, rot, trans, key):
-        from ..eval.pnp_eval import (pose_from_dense_ransac,
+        from ..eval.pnp_eval import (pose_from_dense_net_iter,
+                                     pose_from_dense_ransac,
                                      pose_from_dense_uncertainty)
         ext = jnp.take(extents, labels, axis=0)
         if post_mode == "ransac_pnp":
             R, t, _ = pose_from_dense_ransac(
                 key, extra["mask_prob"], extra["xyz"], extra["coord_2d"],
                 im_wh, ext, Ks)
+        elif post_mode == "net_iter_pnp":
+            R, t = pose_from_dense_net_iter(
+                extra["mask_prob"], extra["xyz"], extra["coord_2d"],
+                im_wh, ext, Ks, R0=rot, t0=trans)
         else:
             R, t = pose_from_dense_uncertainty(
                 extra["mask_prob"], extra["xyz"], extra["coord_2d"],
@@ -183,7 +203,7 @@ def run_gdrn_inference(
             Ks_j,
             labels_j,
             depths=(put_r(batch["depths"]) if with_depth_input else None))
-        if post_mode in ("ransac_pnp", "uncertainty_pnp"):
+        if post_mode in ("ransac_pnp", "uncertainty_pnp", "net_iter_pnp"):
             im_h, im_w = batch["images"].shape[1:3]
             im_wh = jnp.broadcast_to(
                 jnp.asarray([im_w, im_h], jnp.float32),
@@ -211,6 +231,11 @@ def run_gdrn_inference(
     t_wall0 = None
     inflight: deque = deque()
     rng = jax.random.PRNGKey(0)
+    # per-batch serving latency samples: sync mode measures dispatch->ready;
+    # pipelined mode measures dispatch->drained, i.e. true request latency
+    # including queue wait (BASELINE.md: p50 per-object latency tracked
+    # alongside AR; reference timing protocol gdrn_evaluator.py:598-610)
+    lat_samples: list = []   # (seconds, n_valid_rois) per batch
 
     def emit(batch, rot, trans, dt):
         """Materialize one batch's rows. dt: measured batch time (ignored
@@ -242,20 +267,27 @@ def run_gdrn_inference(
             warmed = True
             t_wall0 = time.perf_counter()
         if amortize:
-            inflight.append((batch, dispatch(batch, k)))
+            inflight.append((batch, dispatch(batch, k),
+                             time.perf_counter()))
             while len(inflight) >= pipeline_depth:
-                b2, (r2, t2) = inflight.popleft()
-                emit(b2, np.asarray(jax.block_until_ready(r2)),
-                     np.asarray(t2), 0.0)
+                b2, (r2, t2), td = inflight.popleft()
+                rot2 = np.asarray(jax.block_until_ready(r2))
+                lat_samples.append((time.perf_counter() - td,
+                                    int(b2["valid"].sum())))
+                emit(b2, rot2, np.asarray(t2), 0.0)
         else:
             t0 = time.perf_counter()
             rot, trans = run_batch(batch, k)
             dt = time.perf_counter() - t0
             total_compute += dt
+            lat_samples.append((dt, int(batch["valid"].sum())))
             emit(batch, rot, trans, dt)
     while inflight:
-        b2, (r2, t2) = inflight.popleft()
-        emit(b2, np.asarray(jax.block_until_ready(r2)), np.asarray(t2), 0.0)
+        b2, (r2, t2), td = inflight.popleft()
+        rot2 = np.asarray(jax.block_until_ready(r2))
+        lat_samples.append((time.perf_counter() - td,
+                            int(b2["valid"].sum())))
+        emit(b2, rot2, np.asarray(t2), 0.0)
     if amortize and t_wall0 is not None:
         total_compute = time.perf_counter() - t_wall0
         per_roi = total_compute / max(n_instances, 1)
@@ -271,20 +303,34 @@ def run_gdrn_inference(
     if stats is not None:
         compiles = 0
         for fn in (step, post_pnp if post_mode in ("ransac_pnp",
-                                                   "uncertainty_pnp") else None,
+                                                   "uncertainty_pnp",
+                                                   "net_iter_pnp") else None,
                    post_depth if post_mode == "depth_refine" else None):
             if fn is not None:
                 try:
                     compiles += fn._cache_size()
                 except Exception:
                     pass
+        lat_ms = {}
+        if lat_samples:
+            # per-OBJECT latency: every ROI in a batch completes when the
+            # batch does, so each batch latency is sampled once per valid
+            # ROI (p50/p99 over objects, not over batches)
+            per_obj = np.repeat([s for s, _ in lat_samples],
+                                [max(n, 1) for _, n in lat_samples])
+            lat_ms = {
+                "p50_ms": float(np.percentile(per_obj, 50) * 1e3),
+                "p99_ms": float(np.percentile(per_obj, 99) * 1e3),
+                "mean_ms": float(per_obj.mean() * 1e3),
+            }
         stats.update(
             n_instances=n_instances,
             n_batches=n_batches,
             compute_s=total_compute,
             rois_per_sec=(n_instances / total_compute
                           if total_compute > 0 else float("nan")),
-            compiles=compiles)
+            compiles=compiles,
+            **lat_ms)
     return results
 
 

@@ -95,6 +95,17 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
     im_w = meta.width if meta else 640
     im_h = meta.height if meta else 480
     pc = cfg.model.pose_net
+    if not pc.xyz_online:
+        # the reference's offline mode reads pre-generated per-image XYZ
+        # files (core/gdrn_modeling/tools/*/\*_gen_xyz.py, ~9.7k LoC of
+        # prep tooling); here GT XYZ is always rasterized on device inside
+        # the jitted batch program (engine/batching.py), which obsoletes
+        # the offline pipeline entirely — there is nothing to load
+        raise NotImplementedError(
+            "pose_net.xyz_online=False (offline pre-generated XYZ files) is "
+            "intentionally unsupported: GT XYZ/depth is rasterized on "
+            "device every step (build_train_batch_online); set "
+            "xyz_online=True")
 
     iters_per_epoch = max(len(records) // cfg.solver.ims_per_batch, 1)
     total_iters = max_iters or cfg.solver.total_epochs * iters_per_epoch
@@ -170,7 +181,9 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
         pixel_mean=tuple(cfg.model.pixel_mean),
         pixel_std=tuple(cfg.model.pixel_std),
         xyz_bin=(pc.geo_head.xyz_num_bins
-                 if pc.loss.xyz_loss_type == "CE_coor" else 0))
+                 if pc.loss.xyz_loss_type == "CE_coor" else 0),
+        coord_2d_type=pc.pnp_net.coord_2d_type,
+        xyz_bp=pc.xyz_bp)
 
     def prep(host_batch, key):
         from ..ops.color_aug import color_aug_by_type, replace_background
@@ -312,6 +325,17 @@ def train_gdrn(cfg: Config, records, model_bank, records2=None,
         batch0["roi_cams"], batch0["roi_centers"], batch0["roi_whs"],
         batch0["roi_extents"], batch0["resize_ratios"],
         roi_depth=batch0.get("roi_depth"))
+    if pc.backbone.pretrained:
+        # backbone-only pretrained init (reference: timm/torchvision
+        # pretrained weights via net_factory.py BACKBONES init_cfg)
+        from ..utils.torch_port import load_pretrained_backbone
+        params = dict(variables["params"])
+        params["backbone"] = jax.tree.map(
+            jnp.asarray, load_pretrained_backbone(
+                pc.backbone.pretrained, params["backbone"],
+                pc.backbone.name, in_channels=pc.backbone.in_channels))
+        variables = {"params": params}
+        print(f"loaded pretrained backbone from {pc.backbone.pretrained}")
     state = create_train_state(model.apply, variables["params"], tx,
                                ema_decay=cfg.model.ema_decay,
                                ema_warmup=cfg.model.ema_warmup_updates)

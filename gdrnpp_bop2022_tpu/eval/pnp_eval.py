@@ -69,6 +69,37 @@ def pose_from_dense_uncertainty(mask_prob, xyz_pred, coord_2d, im_wh,
     return uncertainty_pnp(pts3d, pts2d, w, Ks)
 
 
+@partial(jax.jit, static_argnames=("iters", "min_points"))
+def pose_from_dense_net_iter(mask_prob, xyz_pred, coord_2d, im_wh,
+                             extents, Ks, R0, t0, iters: int = 20,
+                             trans_diff_max: float = 1.0,
+                             min_points: int = 4):
+    """USE_PNP=net_iter_pnp path: network pose as the initialization for an
+    iterative PnP refine on the dense correspondences.
+
+    Reference process_net_and_pnp (gdrn_evaluator.py:241-371, pnp_type
+    "iter"): cv2.solvePnP SOLVEPNP_ITERATIVE with useExtrinsicGuess from the
+    net (R, t) — i.e. Levenberg-Marquardt on reprojection error seeded at
+    the net pose, which is exactly lm_refine_pnp. Two reference guards are
+    kept (gdrn_evaluator.py:346-357):
+      * if the refined translation moved > 1 m from the net translation,
+        keep the net translation (rotation stays refined);
+      * if fewer than 4 valid correspondences, keep the net pose entirely.
+    """
+    pts2d, pts3d, valid, _ = dense_correspondences(
+        mask_prob, xyz_pred, coord_2d, im_wh, extents)
+    w = valid.astype(pts3d.dtype)
+    p2n = normalize_points_2d(pts2d, Ks)
+    R, t = lm_refine_pnp(R0, t0, pts3d, p2n, weights=w, iters=iters)
+    # te(t_est, trans_est_net) > 1 -> t_est = trans_est_net
+    t = jnp.where(jnp.linalg.norm(t - t0, axis=-1, keepdims=True)
+                  > trans_diff_max, t0, t)
+    few = (jnp.sum(valid, axis=-1) < min_points)
+    R = jnp.where(few[:, None, None], R0, R)
+    t = jnp.where(few[:, None], t0, t)
+    return R, t
+
+
 @partial(jax.jit, static_argnames=("iters", "out_res"))
 def depth_refine_batch(
     rots: jax.Array,          # (B, 3, 3) estimated rotations (fixed)

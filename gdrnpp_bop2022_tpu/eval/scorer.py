@@ -238,6 +238,15 @@ def score_bop_results(
     errors=("mssd", "mspd", "vsd"),
     vsd_mode: str = "full",       # full | auto | window (see eval/vsd.py);
                                   # full = strict toolkit equivalence
+    eval_precision: bool = True,  # also emit the DPOD-style prec_* tables
+                                  # (cfg.VAL.EVAL_PRECISION)
+    sym_obj_labels=None,          # restrict the sym-closest re/proj aux
+                                  # errors to these 0-based labels
+                                  # (cfg.DATASETS.SYM_OBJS by name ->
+                                  # labels); None = every object with a
+                                  # models_info symmetry (superset)
+    vsd_full_chunk: Optional[int] = None,   # pairs per full-image vsd
+                                  # call; None = _VSD_FULL_CHUNK default
 ) -> Dict[str, float]:
     """Compute BOP AR scores (+ aux recalls). Returns a metrics dict."""
     label_of = {oid: i for i, oid in enumerate(model_bank.obj_ids)}
@@ -266,8 +275,18 @@ def score_bop_results(
     mssd_kernel = partial(_mssd_kernel, **sym_kw)
     mspd_kernel = partial(_mspd_kernel, **sym_kw)
     add_kernel = partial(_add_kernel, pts_bank=pts_bank)
+    # the aux (custom-evaluator) errors honour DATASETS.SYM_OBJS: classes
+    # outside the list keep only the identity "symmetry", i.e. plain re/proj
+    # (gdrn_custom_evaluator.py:686-723 gates get_closest_rot on SYM_OBJS)
+    symV_aux = symV_b
+    if sym_obj_labels is not None:
+        member = np.zeros(symV_np.shape[0], bool)
+        member[np.asarray(list(sym_obj_labels), int)] = True
+        sv = symV_np & member[:, None]
+        sv[:, 0] = True  # identity always valid
+        symV_aux = jnp.asarray(sv)
     aux_kernel = partial(_aux_kernel, pts_bank=pts_bank, symR_b=symR_b,
-                         symV_b=symV_b)
+                         symV_b=symV_aux)
     vsd_kw = dict(verts_bank=verts_bank, faces_bank=faces_bank, taus=taus_j,
                   delta=jnp.float32(vsd_delta))
     vsd_win_kernel = partial(_vsd_win_kernel, **vsd_kw)
@@ -401,9 +420,10 @@ def score_bop_results(
                         use_win = window_fits(
                             P["Re"][idx], P["te"][idx], P["Rg"][idx],
                             P["tg"][idx], P_K[idx], P_diam[idx], im_h, im_w)
+                    full_chunk = vsd_full_chunk or _VSD_FULL_CHUNK
                     for kernel, sel, chunk in (
                             (vsd_win_kernel, use_win, _VSD_WIN_CHUNK),
-                            (vsd_full_kernel, ~use_win, _VSD_FULL_CHUNK)):
+                            (vsd_full_kernel, ~use_win, full_chunk)):
                         sub = idx[sel]
                         if not len(sub):
                             continue
@@ -547,7 +567,7 @@ def score_bop_results(
     # predictions only — undetected GT is IGNORED, unlike the recalls
     # above where every unmatched GT contributes an inf row. "ad" selects
     # adi for objects with a symmetry bank, add otherwise.
-    if n_pairs and matched_pairs:
+    if eval_precision and n_pairs and matched_pairs:
         diam_m = np.asarray(matched_meta, np.float64)
         sym_m = np.array([model_bank.sym_rotations[l] is not None
                           for l in matched_label])

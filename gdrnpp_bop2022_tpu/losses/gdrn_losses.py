@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from ..geometry.se3 import transform_pts
 from ..geometry.symmetry import get_closest_rot_batch
-from ..geometry.rotations import angular_distance
 
 
 def masked_xyz_l1_loss(pred: jax.Array, gt: jax.Array, mask: jax.Array) -> jax.Array:
@@ -28,23 +27,40 @@ def masked_xyz_l1_loss(pred: jax.Array, gt: jax.Array, mask: jax.Array) -> jax.A
     return num / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def _masked_sum_ce(logits, targets, mask):
+    """The reference's masked-CE formulation (GDRN_double_mask.py:341-349,
+    :404-409): CE(logits * mask, targets * mask, reduction="sum") / n_mask.
+    Zeroing the LOGITS makes every masked-out pixel contribute a constant
+    -log_softmax(0)[0] = log(C) with zero gradient (d logits/d params = 0
+    there); we add that constant in closed form so loss VALUES match the
+    reference's training logs exactly, not just the gradients."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(
+        logp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    n_mask = jnp.sum(mask)
+    n_out = mask.size - n_mask
+    const = n_out * jnp.log(jnp.float32(logits.shape[-1]))
+    return (jnp.sum(nll * mask) + const) / jnp.maximum(n_mask, 1.0)
+
+
 def xyz_ce_loss(logits: jax.Array, gt_bins: jax.Array, mask: jax.Array) -> jax.Array:
     """Cross-entropy heatmap loss for binned coordinates
-    (reference: losses/coor_cross_entropy.py). logits: (B, H, W, bins+1),
-    gt_bins: (B, H, W) int, mask: (B, H, W). Gradient-equivalent to the
-    reference's logit-masking formulation (constant offset dropped)."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, gt_bins[..., None].astype(jnp.int32), axis=-1)[..., 0]
-    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    (reference: losses/coor_cross_entropy.py via GDRN_double_mask.py:341).
+    logits: (B, H, W, bins+1), gt_bins: (B, H, W) int, mask: (B, H, W)."""
+    return _masked_sum_ce(logits, gt_bins, mask)
 
 
 def _soft_dice(probs: jax.Array, gt: jax.Array, eps: float = 0.002) -> jax.Array:
-    # per-sample dice over flattened spatial dims (reference mask_losses.py)
+    # per-sample dice over flattened spatial dims (reference
+    # mask_losses.py:442-461 soft_dice_loss, smooth=0: plain sums in the
+    # denominator — NOT the squared-sum SOLO variant — and eps only in the
+    # denominator; value-verified against the reference module in
+    # tests/test_reference_model_oracle.py)
     p = probs.reshape(probs.shape[0], -1)
     g = gt.reshape(gt.shape[0], -1)
     inter = jnp.sum(p * g, axis=1)
-    denom = jnp.sum(p * p, axis=1) + jnp.sum(g * g, axis=1)
-    return jnp.mean(1.0 - (2.0 * inter + eps) / (denom + eps))
+    denom = jnp.sum(p, axis=1) + jnp.sum(g, axis=1)
+    return jnp.mean(1.0 - 2.0 * inter / (denom + eps))
 
 
 def mask_loss(pred_logits: jax.Array, gt: jax.Array, loss_type: str = "L1") -> jax.Array:
@@ -59,22 +75,41 @@ def mask_loss(pred_logits: jax.Array, gt: jax.Array, loss_type: str = "L1") -> j
     if loss_type == "dice":
         return _soft_dice(jax.nn.sigmoid(pred_logits), gt)
     if loss_type == "RW_BCE":
-        probs = jnp.clip(jax.nn.sigmoid(pred_logits), 1e-6, 1 - 1e-6)
-        bce = -(gt * jnp.log(probs) + (1 - gt) * jnp.log(1 - probs))
-        # real-weighting: balance fg/bg contributions per sample
-        fg = jnp.maximum(jnp.sum(gt, axis=(1, 2), keepdims=True), 1.0)
-        bg = jnp.maximum(jnp.sum(1 - gt, axis=(1, 2), keepdims=True), 1.0)
-        w = gt / fg + (1 - gt) / bg
-        return jnp.mean(jnp.sum(bce * w, axis=(1, 2)) / 2.0)
+        # weighted_ex_loss_probs (reference mask_losses.py:63-106): split
+        # pixels into pos (gt>0) / neg (gt==0) across the WHOLE batch,
+        # pos term weighted by the (soft) target value, each side
+        # normalized by its own GLOBAL count, then summed (no /2);
+        # value-verified against the reference module in
+        # tests/test_reference_model_oracle.py
+        probs = jnp.clip(jax.nn.sigmoid(pred_logits), 1e-7, 1 - 1e-7)
+        pos = (gt > 0).astype(probs.dtype)
+        neg = 1.0 - pos
+        pos_loss = jnp.sum(-gt * jnp.log(probs) * pos)
+        neg_loss = jnp.sum(-jnp.log(1.0 - probs) * neg)
+        n_pos = jnp.sum(pos)
+        n_neg = jnp.sum(neg)
+        return (jnp.where(n_pos > 0, pos_loss / jnp.maximum(n_pos, 1.0), 0.0)
+                + jnp.where(n_neg > 0, neg_loss / jnp.maximum(n_neg, 1.0),
+                            0.0))
     raise ValueError(f"unknown mask loss type: {loss_type}")
 
 
 def region_ce_loss(logits: jax.Array, gt_region: jax.Array, mask: jax.Array) -> jax.Array:
-    """Region classification CE, masked + count-normalized.
+    """Region classification CE, masked + count-normalized
+    (reference: GDRN_double_mask.py:404-409).
     logits: (B, H, W, R+1), gt_region: (B, H, W) int in [0, R], mask (B, H, W)."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, gt_region[..., None].astype(jnp.int32), axis=-1)[..., 0]
-    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return _masked_sum_ce(logits, gt_region, mask)
+
+
+def _reduced_loss(x: jax.Array, y: jax.Array, loss_type: str,
+                  beta: float = 1.0) -> jax.Array:
+    """Reduced (scalar) regression loss matching the reference's zoo:
+    L1/MSE = elementwise mean; L2 = L2Loss (l2_loss.py:5-27), the mean over
+    the batch of the PER-SAMPLE flattened L2 NORM — not MSE."""
+    if loss_type in ("l2", "L2"):
+        d = (x - y).reshape(x.shape[0], -1)
+        return jnp.mean(jnp.sqrt(jnp.sum(d * d, axis=1)))
+    return jnp.mean(_elem_loss(x, y, loss_type, beta))
 
 
 def _elem_loss(x: jax.Array, y: jax.Array, loss_type: str, beta: float = 1.0) -> jax.Array:
@@ -83,9 +118,6 @@ def _elem_loss(x: jax.Array, y: jax.Array, loss_type: str, beta: float = 1.0) ->
         return jnp.abs(d)
     if loss_type in ("mse", "MSE"):
         return d * d
-    if loss_type in ("l2", "L2"):
-        # L2Loss in the reference: 0.5 * squared error
-        return 0.5 * d * d
     if loss_type == "smooth_l1":
         ad = jnp.abs(d)
         return jnp.where(ad < beta, 0.5 * ad * ad / beta, ad - 0.5 * beta)
@@ -172,9 +204,15 @@ def point_matching_loss(
 
 
 def angular_rot_loss(pred_rots: jax.Array, gt_rots: jax.Array) -> jax.Array:
-    """Mean angular distance scaled like the reference rot_loss.py
-    ((1 - cos)/2-style normalized)."""
-    return jnp.mean(angular_distance(pred_rots, gt_rots))
+    """Reference angular_distance_rot (rot_loss.py:29-43): the smooth
+    surrogate (1 - cos)/2 with cos = (tr(R1 R2^T) - 1)/2 — NOT arccos
+    (the true geodesic lives in geometry.rotations.angular_distance and is
+    eval-only). Value-verified against the reference module in
+    tests/test_reference_model_oracle.py."""
+    tr = jnp.einsum("...ij,...ij->...", pred_rots, gt_rots,
+                    precision=jax.lax.Precision.HIGHEST)
+    cos = (tr - 1.0) * 0.5
+    return jnp.mean((1.0 - cos) * 0.5)
 
 
 def compute_gdrn_losses(
@@ -231,6 +269,11 @@ def compute_gdrn_losses(
 
         # region ------------------------------------------------------------
         if lc.region_lw > 0 and outputs["region"].shape[-1] > 0:
+            # CE is the only region loss the reference implements too
+            # (GDRN_double_mask.py:403-412 raises on anything else)
+            if lc.region_loss_type != "CE":
+                raise NotImplementedError(
+                    f"region_loss_type={lc.region_loss_type!r}: only CE")
             m_region = gt_masks[lc.region_loss_mask_gt]
             losses["loss_region"] = region_ce_loss(
                 outputs["region"], batch["gt_region"], m_region) * lc.region_lw
@@ -256,29 +299,34 @@ def compute_gdrn_losses(
             losses["loss_rot"] = angular_rot_loss(outputs["rot_ego"], batch["gt_rot"]) * lc.rot_lw
         else:
             losses["loss_rot"] = jnp.mean(
-                _elem_loss(outputs["rot_ego"], batch["gt_rot"], "l2")) * lc.rot_lw
+                _elem_loss(outputs["rot_ego"], batch["gt_rot"],
+                           "mse")) * lc.rot_lw
 
     # centroid / z ----------------------------------------------------------
     if lc.centroid_lw > 0 and cfg.model.pose_net.pnp_net.trans_type == "centroid_z":
-        losses["loss_centroid"] = jnp.mean(_elem_loss(
+        losses["loss_centroid"] = _reduced_loss(
             outputs["centroid_rel"], batch["gt_trans_ratio"][:, :2],
-            lc.centroid_loss_type)) * lc.centroid_lw
+            lc.centroid_loss_type) * lc.centroid_lw
     if lc.z_lw > 0:
         gt_z = (batch["gt_trans_ratio"][:, 2]
                 if cfg.model.pose_net.pnp_net.z_type == "REL" else batch["gt_trans"][:, 2])
-        losses["loss_z"] = jnp.mean(_elem_loss(
-            outputs["z_rel"], gt_z, lc.z_loss_type)) * lc.z_lw
+        losses["loss_z"] = _reduced_loss(
+            outputs["z_rel"][:, None], gt_z[:, None],
+            lc.z_loss_type) * lc.z_lw
 
     # trans -------------------------------------------------------------------
     if lc.trans_lw > 0:
         if lc.trans_loss_disentangle:
-            losses["loss_trans_xy"] = jnp.mean(_elem_loss(
-                outputs["trans"][:, :2], batch["gt_trans"][:, :2], lc.trans_loss_type)) * lc.trans_lw
-            losses["loss_trans_z"] = jnp.mean(_elem_loss(
-                outputs["trans"][:, 2], batch["gt_trans"][:, 2], lc.trans_loss_type)) * lc.trans_lw
+            losses["loss_trans_xy"] = _reduced_loss(
+                outputs["trans"][:, :2], batch["gt_trans"][:, :2],
+                lc.trans_loss_type) * lc.trans_lw
+            losses["loss_trans_z"] = _reduced_loss(
+                outputs["trans"][:, 2:3], batch["gt_trans"][:, 2:3],
+                lc.trans_loss_type) * lc.trans_lw
         else:
-            losses["loss_trans_LPnP"] = jnp.mean(_elem_loss(
-                outputs["trans"], batch["gt_trans"], lc.trans_loss_type)) * lc.trans_lw
+            losses["loss_trans_LPnP"] = _reduced_loss(
+                outputs["trans"], batch["gt_trans"],
+                lc.trans_loss_type) * lc.trans_lw
 
     # bind: R^T t -------------------------------------------------------------
     if lc.bind_lw > 0:
@@ -286,7 +334,8 @@ def compute_gdrn_losses(
                                precision=jax.lax.Precision.HIGHEST)
         gt_bind = jnp.einsum("bji,bj->bi", batch["gt_rot"], batch["gt_trans"],
                              precision=jax.lax.Precision.HIGHEST)
-        losses["loss_bind"] = jnp.mean(_elem_loss(pred_bind, gt_bind, lc.bind_loss_type)) * lc.bind_lw
+        losses["loss_bind"] = _reduced_loss(
+            pred_bind, gt_bind, lc.bind_loss_type) * lc.bind_lw
 
     if lc.use_mtl and log_vars is not None:
         # learned task-uncertainty weighting (reference

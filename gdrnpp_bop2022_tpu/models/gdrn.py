@@ -180,6 +180,7 @@ class GDRN(nn.Module):
             deconv_kernel_size=gh.deconv_kernel_size,
             num_conv_per_block=gh.num_conv_per_block,
             feat_dim=gh.feat_dim,
+            feat_kernel_size=gh.feat_kernel_size,
             norm=gh.norm,
             num_gn_groups=gh.num_gn_groups,
             act=gh.act,
@@ -278,6 +279,11 @@ class GDRN(nn.Module):
         nc = pc.num_classes
         xyz_dim, mask_dim, region_dim = self._dims
 
+        # trace-time shape contract: backbone.in_channels declares the input
+        # layout (6 for RGB-D concat variants, reference net_factory in_chans)
+        assert roi_img.shape[-1] == pc.backbone.in_channels, (
+            f"roi_img has {roi_img.shape[-1]} channels but "
+            f"backbone.in_channels={pc.backbone.in_channels}")
         feat = self.backbone(roi_img.astype(self.dtype), deterministic=deterministic)
         if self.depth_backbone is not None:
             assert roi_depth is not None, "dstream model needs roi_depth"

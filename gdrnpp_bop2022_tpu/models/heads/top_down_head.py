@@ -29,6 +29,7 @@ class _UpBlock(nn.Module):
     feat_dim: int
     up_type: str = "bilinear"
     deconv_kernel_size: int = 3
+    feat_kernel_size: int = 3
     num_conv_per_block: int = 2
     norm: str = "GN"
     num_gn_groups: int = 32
@@ -53,7 +54,8 @@ class _UpBlock(nn.Module):
         else:
             x = upsample2x(x, method=self.up_type)
         for i in range(self.num_conv_per_block):
-            x = ConvModule(self.feat_dim, kernel_size=3, norm=self.norm,
+            x = ConvModule(self.feat_dim, kernel_size=self.feat_kernel_size,
+                           norm=self.norm,
                            num_gn_groups=self.num_gn_groups, act=self.act,
                            dtype=self.dtype, name=f"conv{i}")(x)
         return x
@@ -71,6 +73,7 @@ class TopDownDoubleMaskXyzRegionHead(nn.Module):
     deconv_kernel_size: int = 3
     num_conv_per_block: int = 2
     feat_dim: int = 256
+    feat_kernel_size: int = 3
     norm: str = "GN"
     num_gn_groups: int = 32
     act: str = "gelu"
@@ -99,6 +102,7 @@ class TopDownDoubleMaskXyzRegionHead(nn.Module):
         for i, up_type in enumerate(self.up_types):
             x = _UpBlock(self.feat_dim, up_type=up_type,
                          deconv_kernel_size=self.deconv_kernel_size,
+                         feat_kernel_size=self.feat_kernel_size,
                          num_conv_per_block=self.num_conv_per_block,
                          norm=self.norm, num_gn_groups=self.num_gn_groups,
                          act=self.act, dtype=self.dtype, name=f"up{i}")(x)
@@ -202,7 +206,8 @@ class ConvMaskXyzRegionHead(TopDownDoubleMaskXyzRegionHead):
 
     def _trunk(self, x):
         for i in range(self.num_feat_layers):
-            x = ConvModule(self.feat_dim, kernel_size=3, norm=self.norm,
+            x = ConvModule(self.feat_dim, kernel_size=self.feat_kernel_size,
+                           norm=self.norm,
                            num_gn_groups=self.num_gn_groups, act=self.act,
                            dtype=self.dtype, name=f"conv{i}")(x)
         return x
@@ -226,7 +231,9 @@ class FPNMaskXyzRegionHead(TopDownDoubleMaskXyzRegionHead):
             steps = max(1, int(_np.log2(stride) - _np.log2(s0)))
             x = f
             for k in range(steps):
-                x = ConvModule(self.feat_dim, kernel_size=3, norm=self.norm,
+                x = ConvModule(self.feat_dim,
+                               kernel_size=self.feat_kernel_size,
+                               norm=self.norm,
                                num_gn_groups=self.num_gn_groups, act=self.act,
                                dtype=self.dtype, name=f"scale{i}_conv{k}")(x)
                 if stride != s0:

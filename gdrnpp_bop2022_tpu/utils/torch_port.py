@@ -509,3 +509,65 @@ def convert_gdrn_checkpoint(sd: Dict[str, np.ndarray], flax_params: dict,
         import warnings
         warnings.warn(msg)
     return out
+
+
+_CONVNEXT_DEPTHS = {
+    "convnext_tiny": (3, 3, 9, 3),
+    "convnext_small": (3, 3, 27, 3),
+    "convnext_base": (3, 3, 27, 3),
+}
+
+
+def load_pretrained_backbone(path: str, backbone_params: dict,
+                             backbone_name: str,
+                             in_channels: int = 3) -> dict:
+    """backbone.pretrained: ImageNet/backbone-only init at train start
+    (reference: init_cfg pretrained in the BACKBONES registry,
+    core/gdrn_modeling/models/net_factory.py + timm pretrained loading).
+
+    Accepts either
+      * a timm ConvNeXt torch checkpoint (.pth/.pt/.bin/.ckpt), converted
+        via convert_convnext_timm with the stem conv adapted to
+        `in_channels` (timm adapt_input_conv semantics — the reference's
+        RGB-D 6-channel variants reuse RGB weights this way), or
+      * a .npz of flat '/'-joined flax param paths for the backbone
+        subtree (as produced by np.savez over a converted tree).
+
+    Returns a params tree shaped like `backbone_params`; raises (never
+    silently skips) when the file does not cover the backbone, so a typo'd
+    path can't yield a random-init run that looks pretrained.
+    """
+    import jax
+
+    if path.endswith(".npz"):
+        flat = dict(np.load(path))
+        if not flat:
+            raise ValueError(f"{path}: empty npz")
+        out = jax.tree_util.tree_map(np.asarray, backbone_params)
+
+        def set_path(tree, parts, val):
+            for p in parts[:-1]:
+                tree = tree[p]
+            if tree[parts[-1]].shape != val.shape:
+                raise ValueError(f"{'/'.join(parts)}: checkpoint shape "
+                                 f"{val.shape} != model "
+                                 f"{tree[parts[-1]].shape}")
+            tree[parts[-1]] = val
+
+        for k, v in flat.items():
+            set_path(out, k.split("/"), v)
+        return out
+
+    if not backbone_name.startswith("convnext"):
+        raise NotImplementedError(
+            f"backbone.pretrained torch conversion is implemented for "
+            f"convnext_* (timm layout); got {backbone_name!r} — convert "
+            f"offline and pass a .npz instead")
+    sd = load_torch_checkpoint(path)
+    sd = strip_prefix(strip_prefix(sd, "module."), "backbone.")
+    out = convert_convnext_timm(sd, depths=_CONVNEXT_DEPTHS[backbone_name])
+    if in_channels != 3:
+        # stem kernel is HWIO in flax; adapt_input_conv works on axis 2 (I)
+        out["stem_conv"]["kernel"] = adapt_input_conv(
+            out["stem_conv"]["kernel"], in_channels)
+    return out

@@ -56,3 +56,55 @@ def test_torch_checkpoint_loading(tmp_path):
     assert "backbone.stem.0.weight" in out
     assert out["backbone.stem.0.weight"].shape == (4, 3, 4, 4)
     assert isinstance(out["backbone.stem.0.weight"], np.ndarray)
+
+
+def test_no_dead_config_fields():
+    """Honesty check: every leaf field of the config tree must be READ
+    somewhere outside config.py (as `.field_name`), so no knob is accepted
+    but silently ignored (the round-4 net_iter_pnp/save_results_only trap).
+    """
+    import dataclasses
+    import os
+    import re
+
+    import gdrnpp_bop2022_tpu
+    from gdrnpp_bop2022_tpu.config import Config, YoloxConfig
+
+    pkg_root = os.path.dirname(gdrnpp_bop2022_tpu.__file__)
+    repo_root = os.path.dirname(pkg_root)
+    sources = []
+    for base in (pkg_root, os.path.join(repo_root, "tools")):
+        for dirpath, _, names in os.walk(base):
+            for n in names:
+                if n.endswith(".py") and n != "config.py":
+                    with open(os.path.join(dirpath, n)) as f:
+                        sources.append(f.read())
+    blob = "\n".join(sources)
+
+    def leaf_fields(cls, seen=None):
+        seen = set() if seen is None else seen
+        if cls in seen:
+            return
+        seen.add(cls)
+        for f in dataclasses.fields(cls):
+            t = f.type if isinstance(f.type, type) else None
+            sub = t if (t and dataclasses.is_dataclass(t)) else None
+            if sub is None:
+                # string annotations: resolve via the default value
+                d = (f.default_factory() if f.default_factory
+                     is not dataclasses.MISSING else f.default)
+                if dataclasses.is_dataclass(d):
+                    sub = type(d)
+            if sub is not None:
+                yield from leaf_fields(sub, seen)
+            else:
+                yield f.name
+
+    dead = []
+    for name in set(leaf_fields(Config)) | set(leaf_fields(YoloxConfig)):
+        # attribute read (cfg.x.field) or getattr-by-name / dict key
+        pat = re.compile(r"\.%s\b|[\"']%s[\"']" % (re.escape(name),
+                                                   re.escape(name)))
+        if not pat.search(blob):
+            dead.append(name)
+    assert not dead, f"config fields accepted but never read: {sorted(dead)}"

@@ -10,6 +10,10 @@ import numpy as np
 
 from synth_utils import build_synth_bop, K
 
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess CLI: fresh jax + compiles per process
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -327,6 +327,8 @@ def test_eval_static_shapes_single_compile(synth_bop):
     assert stats["compiles"] == 1, stats
     assert stats["n_batches"] == len(batches)
     assert stats["compute_s"] > 0 and np.isfinite(stats["rois_per_sec"])
+    # per-object latency percentiles (BASELINE.md: p50 tracked w/ AR)
+    assert 0 < stats["p50_ms"] <= stats["p99_ms"]
     # warmup absorbed compilation: the first image's CSV time must be the
     # same order as later ones (not seconds of jit compile)
     t_first = min(r["time"] for r in results)
@@ -343,6 +345,7 @@ def test_eval_static_shapes_single_compile(synth_bop):
         bank.extents, input_res=64, output_res=16, stats=stats_p,
         pipeline_depth=3)
     assert stats_p["compiles"] == 1
+    assert 0 < stats_p["p50_ms"] <= stats_p["p99_ms"]
     assert len(results_p) == len(results)
     for a, b in zip(results, results_p):
         np.testing.assert_allclose(a["R"], b["R"], atol=1e-6)

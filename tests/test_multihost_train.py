@@ -19,6 +19,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess CLI: fresh jax + compiles
+
 TRAIN_SCRIPT = textwrap.dedent("""
     import os, sys
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")

@@ -6,7 +6,8 @@ import jax
 import jax.numpy as jnp
 
 from gdrnpp_bop2022_tpu.eval.pnp_eval import (
-    pose_from_dense_ransac, pose_from_dense_uncertainty, depth_refine_batch)
+    pose_from_dense_ransac, pose_from_dense_uncertainty,
+    pose_from_dense_net_iter, depth_refine_batch)
 from gdrnpp_bop2022_tpu.eval.pose_error import re_batch
 from gdrnpp_bop2022_tpu.ops.rasterizer import render_depth_xyz_batch
 from gdrnpp_bop2022_tpu.geometry.camera import centered_crop_K
@@ -80,6 +81,53 @@ def test_dense_uncertainty_pnp():
     err = float(re_batch(R, jnp.asarray(s["R"])[None])[0])
     assert err < 3.0, err
     assert np.linalg.norm(np.asarray(t[0]) - s["t"]) < 0.01
+
+
+def test_net_iter_pnp_refines_net_pose():
+    """process_net_and_pnp semantics (gdrn_evaluator.py:241-371): the net
+    pose seeds an iterative PnP that must improve on a perturbed init."""
+    s = _setup(seed=3)
+    # perturb the net pose: ~5 deg rotation + 2 cm translation offset
+    ang = np.deg2rad(5.0)
+    c, sn = np.cos(ang), np.sin(ang)
+    dR = np.array([[c, -sn, 0], [sn, c, 0], [0, 0, 1]], np.float32)
+    R0 = (s["R"] @ dR).astype(np.float32)
+    t0 = s["t"] + np.array([0.01, -0.01, 0.015], np.float32)
+    R, t = pose_from_dense_net_iter(
+        jnp.asarray(s["mask"])[None], jnp.asarray(s["xyz_norm"])[None],
+        jnp.asarray(s["coord2d"])[None], jnp.asarray(s["im_wh"])[None],
+        jnp.asarray(s["extent"])[None], jnp.asarray(s["K"])[None],
+        R0=jnp.asarray(R0)[None], t0=jnp.asarray(t0)[None])
+    err0 = float(re_batch(jnp.asarray(R0)[None], jnp.asarray(s["R"])[None])[0])
+    err = float(re_batch(R, jnp.asarray(s["R"])[None])[0])
+    assert err < err0 * 0.5, (err0, err)
+    assert np.linalg.norm(np.asarray(t[0]) - s["t"]) < \
+        np.linalg.norm(t0 - s["t"]) * 0.5
+
+
+def test_net_iter_pnp_guards():
+    """Reference guards: <4 correspondences -> keep the net pose; refined
+    translation >1 m from the net translation -> keep net translation."""
+    s = _setup(seed=4)
+    R0 = jnp.asarray(s["R"])[None]
+    t0 = jnp.asarray(s["t"])[None]
+    # empty mask: no valid correspondences -> net pose returned untouched
+    empty = jnp.zeros_like(jnp.asarray(s["mask"]))[None]
+    R, t = pose_from_dense_net_iter(
+        empty, jnp.asarray(s["xyz_norm"])[None],
+        jnp.asarray(s["coord2d"])[None], jnp.asarray(s["im_wh"])[None],
+        jnp.asarray(s["extent"])[None], jnp.asarray(s["K"])[None],
+        R0=R0, t0=t0)
+    np.testing.assert_allclose(np.asarray(R[0]), s["R"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t[0]), s["t"], atol=1e-6)
+    # trans guard: tiny trans_diff_max forces the net translation through
+    t0_far = t0 + jnp.asarray([[0.05, 0.0, 0.0]])
+    _, t2 = pose_from_dense_net_iter(
+        jnp.asarray(s["mask"])[None], jnp.asarray(s["xyz_norm"])[None],
+        jnp.asarray(s["coord2d"])[None], jnp.asarray(s["im_wh"])[None],
+        jnp.asarray(s["extent"])[None], jnp.asarray(s["K"])[None],
+        R0=R0, t0=t0_far, trans_diff_max=1e-6)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t0_far), atol=1e-6)
 
 
 def test_depth_refine_fixes_z_offset():

@@ -16,6 +16,8 @@ import pytest
 
 from synth_utils import build_synth_bop, K
 
+pytestmark = pytest.mark.slow  # subprocess CLI: fresh jax + compiles per process
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CFG_TEMPLATE = '''

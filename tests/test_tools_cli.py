@@ -12,6 +12,10 @@ import sys
 
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess CLI: fresh jax + compiles per process
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TINY_CFG = '''

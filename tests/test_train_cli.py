@@ -8,6 +8,10 @@ import sys
 
 from synth_utils import build_synth_bop, K
 
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess CLI: fresh jax + compiles per process
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CFG = '''

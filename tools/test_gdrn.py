@@ -46,7 +46,8 @@ def run_eval(cfg, meta, bank, ckpt_dir=None):
     from gdrnpp_bop2022_tpu.bop.inout import (save_bop_results, save_json,
                                               load_test_targets)
     from gdrnpp_bop2022_tpu.datasets.bop_data import (
-        index_bop_split, load_detections, make_records_by_image, load_depth)
+        index_bop_split, load_detections, gt_detections,
+        make_records_by_image, load_depth)
     from gdrnpp_bop2022_tpu.datasets.test_loader import iter_test_batches
     from gdrnpp_bop2022_tpu.engine.inference import (
         run_gdrn_inference, results_to_bop_rows)
@@ -62,10 +63,14 @@ def run_eval(cfg, meta, bank, ckpt_dir=None):
     records = index_bop_split(split_dir, meta)
     by_im = make_records_by_image(records)
 
-    assert cfg.datasets.det_files_test, "need datasets.det_files_test"
-    dets = load_detections(cfg.datasets.det_files_test[0], meta,
-                           top_k_per_obj=cfg.datasets.det_topk_per_obj,
-                           score_thr=cfg.datasets.det_thr)
+    if cfg.model.load_dets_test:
+        assert cfg.datasets.det_files_test, "need datasets.det_files_test"
+        dets = load_detections(cfg.datasets.det_files_test[0], meta,
+                               top_k_per_obj=cfg.datasets.det_topk_per_obj,
+                               score_thr=cfg.datasets.det_thr)
+    else:
+        # reference default (gdrn_base.py:10): test on the GT boxes
+        dets = gt_detections(records, bbox_type=cfg.model.bbox_type)
 
     # model + params
     model = build_gdrn(cfg)
@@ -91,12 +96,17 @@ def run_eval(cfg, meta, bank, ckpt_dir=None):
     def apply_fn(p, batch):
         return model.apply({"params": p}, **batch)
 
-    # post-processing mode (reference GDRN_Evaluator.process branches)
+    # post-processing mode (reference GDRN_Evaluator.process branches:
+    # process/:180, process_net_and_pnp/:241, process_pnp_ransac/:373,
+    # process_depth_refine/:461)
     if cfg.val.use_depth_refine:
         post_mode = "depth_refine"
     elif cfg.val.use_pnp:
-        post_mode = ("uncertainty_pnp" if cfg.val.pnp_type == "uncertainty_pnp"
-                     else "ransac_pnp")
+        allowed = ("ransac_pnp", "uncertainty_pnp", "net_iter_pnp")
+        if cfg.val.pnp_type not in allowed:
+            raise ValueError(
+                f"val.pnp_type={cfg.val.pnp_type!r}: expected one of {allowed}")
+        post_mode = cfg.val.pnp_type
     else:
         post_mode = "direct"
 
@@ -107,10 +117,20 @@ def run_eval(cfg, meta, bank, ckpt_dir=None):
         by_im = {k: by_im[k] for i, k in enumerate(keys)
                  if i % jax.process_count() == jax.process_index()}
 
-    # shard eval over the configured mesh when more than one device is up
-    # (reference: DDP-rank-split eval, my_comm.py:70-173)
+    # shard eval over the configured mesh when more than one device is up.
+    # Multi-process runs use each rank's LOCAL devices only: eval data
+    # parallelism across hosts is the image round-robin above, each rank
+    # runs its shard independently and the rows are host-gathered at the
+    # end — the reference's DDP eval model (my_comm.py:70-173), with no
+    # cross-host collectives in the hot loop
     mesh = None
-    if len(jax.devices()) > 1:
+    local = jax.local_devices()
+    if jax.process_count() > 1:
+        if len(local) > 1:
+            from gdrnpp_bop2022_tpu.parallel import make_mesh
+            mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes,
+                             devices=local)
+    elif len(jax.devices()) > 1:
         from gdrnpp_bop2022_tpu.parallel import make_mesh
         mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
 
@@ -128,18 +148,30 @@ def run_eval(cfg, meta, bank, ckpt_dir=None):
         mask_loss_type=cfg.model.pose_net.loss.mask_loss_type,
         with_depth_input=cfg.input.with_depth,
         bp_depth=cfg.input.bp_depth,
+        coord_2d_type=pc.pnp_net.coord_2d_type,
         mesh=mesh)
 
     # multi-host: gather result rows from all processes (single-process
-    # no-op; reference my_comm.all_gather of pickled predictions)
-    from gdrnpp_bop2022_tpu.parallel.distributed import gather_results
+    # no-op; reference my_comm.all_gather of pickled predictions); only
+    # rank 0 writes the merged CSV + scores (reference: _process_results
+    # runs on the main process only, my_comm.py:70-173)
+    from gdrnpp_bop2022_tpu.parallel.distributed import (gather_results,
+                                                         is_main_process)
     results = gather_results(results)
+    if not is_main_process():
+        return results
 
     out_dir = os.path.join(cfg.output_dir, "inference", test_name)
     os.makedirs(out_dir, exist_ok=True)
     csv_path = os.path.join(out_dir, "poses.csv")
     save_bop_results(csv_path, results_to_bop_rows(results))
     print(f"wrote {len(results)} poses -> {csv_path}")
+
+    if cfg.val.save_results_only:
+        # reference gdrn_save_result_of_dataset (gdrn_evaluator.py:812):
+        # dump raw results, skip evaluation entirely
+        print("val.save_results_only=True: skipping scoring")
+        return results
 
     # score against GT when available
     gt_rows = []
@@ -164,9 +196,23 @@ def run_eval(cfg, meta, bank, ckpt_dir=None):
             ds = rec["depth_scale"] if rec else 1.0
             return load_depth(p, ds, meta.depth_factor)
 
+        # DATASETS.SYM_OBJS: config override, else the dataset's registry
+        # entry (reference: per-dataset SYM_OBJS in the configs)
+        sym_names = cfg.datasets.sym_objs or meta.sym_objs
+        obj_id_to_label = meta.obj_id_to_label()
+        obj2id = meta.obj2id
+        sym_labels = [obj_id_to_label[obj2id[n]] for n in sym_names
+                      if n in obj2id and obj2id[n] in obj_id_to_label]
+        err_types = tuple(e.strip() for e in cfg.val.error_types.split(",")
+                          if e.strip())
+        bad = set(err_types) - {"vsd", "mssd", "mspd"}
+        if bad:
+            raise ValueError(f"val.error_types: unknown {sorted(bad)}")
         scores = score_bop_results(
             results, gt_rows, bank, targets=targets, im_width=meta.width,
             depth_test_getter=depth_getter, vsd_mode=cfg.val.vsd_mode,
+            errors=err_types, eval_precision=cfg.val.eval_precision,
+            sym_obj_labels=sym_labels,
             # per-dataset eval grid (eval_pose_results_more.py:41-83):
             # itodd scores at vsd_delta=5mm; n_top from the val config
             vsd_delta=meta.vsd_delta, n_top=cfg.val.n_top,
@@ -181,7 +227,22 @@ def main():
     ap.add_argument("--config", required=True)
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--opts", nargs="*", default=[])
+    ap.add_argument("--num-processes", type=int, default=None,
+                    help="multi-host eval: total process count (with "
+                         "--coordinator and --process-id; reference "
+                         "counterpart: DDP-rank-split eval, "
+                         "main_gdrn.py:197-225 + my_comm.py:70-173)")
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host: coordinator host:port")
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
+
+    if args.num_processes and args.num_processes > 1:
+        from gdrnpp_bop2022_tpu.parallel.distributed import (
+            initialize_distributed)
+        initialize_distributed(coordinator_address=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
 
     from gdrnpp_bop2022_tpu.config import parse_opts, replace_cfg
     from tools.train_gdrn import load_config

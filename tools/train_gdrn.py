@@ -131,7 +131,8 @@ def main():
                 pixel_mean=cfg.model.pixel_mean,
                 pixel_std=cfg.model.pixel_std,
                 with_depth_input=cfg.input.with_depth,
-                bp_depth=cfg.input.bp_depth)
+                bp_depth=cfg.input.bp_depth,
+                coord_2d_type=pc.pnp_net.coord_2d_type)
             scores = score_bop_results(results, gt_rows, bank,
                                        im_width=meta.width,
                                        errors=("mssd", "mspd"))
