@@ -136,7 +136,7 @@ def depth_refine_batch(
 
     def one_iter(t, _):
         depth_ren, _unused = render_depth_xyz(
-            verts, faces, rots, t, crop_Ks, H, W)
+            verts, faces, rots, t, crop_Ks, H, W, need_xyz=False)
         ren_mask = depth_ren > 0
         q = query_base * ren_mask * sensor_mask                  # (B, H, W)
         qsum = jnp.sum(q, axis=(1, 2), keepdims=True)

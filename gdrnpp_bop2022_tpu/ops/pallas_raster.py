@@ -11,15 +11,27 @@ OUTSIDE the kernel (XLA gathers; avoids in-kernel gathers, which TPU
 pallas handles poorly).
 
 Mosaic layout notes (these choices are load-bearing):
-  * pixel coords ship as (B, P, 1) so the kernel reads a (TILE_P, 1)
-    column directly — no lane->sublane reshape;
+  * pixel coords are NOT shipped: they are rebuilt in-kernel from a 2D
+    iota + the pixel-tile program id (an f32 div/mod with an exact-integer
+    fixup). Shipping them as (B, P, 1) arrays — the original design —
+    padded the minor dim 1 to the 128-lane tile, a 128x HBM blowup that
+    OOMed full-image VSD at ITODD scale (16 x 1.23M px = 9.4 GB per
+    operand for 75 MB of payload);
   * face data ships TRANSPOSED as (B, 20, F) so per-face quantities are
-    1D lane vectors reshaped to (1, TILE_F) — again no lane crossing;
+    1D lane vectors reshaped to (1, TILE_F) — no lane crossing;
   * the depth-argmin is re-expressed as winner-takes-all mask + masked
-    sum, avoiding per-pixel gathers.
+    sum, avoiding per-pixel gathers;
+  * outputs land in dense (B, P/128, 128) HBM arrays (no padding): the
+    kernel's (TILE_P, 1) columns are relayouted to (TILE_P/128, 128) tiles
+    by ONE in-kernel reshape per output per program — probed supported by
+    Mosaic on this toolchain, and amortized over the whole face loop.
 
 Semantics match rasterize_mesh (same epsilon seam rule, perspective-correct
 interpolation); parity-tested in tests/test_pallas_raster.py.
+
+Reference counterparts: the EGL/CPP renderers the reference uses for
+online GT + VSD (lib/egl_renderer/, cpp_egl_renderer docstrings in
+ops/rasterizer.py).
 """
 
 from __future__ import annotations
@@ -38,11 +50,24 @@ _BIG = 1e9
 _COLS = 20
 
 
-def _raster_kernel(face_data_ref, px_ref, py_ref, depth_ref, attr_ref,
-                   *, n_faces: int, tile_f: int):
-    px = px_ref[0]                               # (P, 1)
-    py = py_ref[0]
-    P = px.shape[0]
+def _raster_kernel(face_data_ref, depth_ref, attr_ref=None,
+                   *, n_faces: int, tile_f: int, tile_p: int, width: int,
+                   with_attrs: bool = True):
+    # Rebuild this tile's pixel coordinates from the flat pixel index.
+    # g < 2^24 holds for any realistic image (16.7M px), so the f32
+    # div/mod is exact after the +-1 row fixup below.
+    p_idx = pl.program_id(1)
+    g = (jax.lax.broadcasted_iota(jnp.int32, (tile_p, 1), 0)
+         + p_idx * tile_p).astype(jnp.float32)       # (P, 1)
+    py = jnp.floor(g / float(width))
+    px = g - py * float(width)
+    lo = px < 0.0
+    py = jnp.where(lo, py - 1.0, py)
+    px = jnp.where(lo, px + float(width), px)
+    hi = px >= float(width)
+    py = jnp.where(hi, py + 1.0, py)
+    px = jnp.where(hi, px - float(width), px)
+    P = tile_p
 
     n_tiles = n_faces // tile_f
 
@@ -71,6 +96,10 @@ def _raster_kernel(face_data_ref, px_ref, py_ref, depth_ref, attr_ref,
         zp = jnp.where(inside & (zp > 1e-6), zp, _BIG)
 
         best_z = jnp.min(zp, axis=1, keepdims=True)          # (P, 1)
+        if not with_attrs:
+            # depth-only (VSD / depth-refine): running min IS the z-buffer
+            return jnp.minimum(zbuf, best_z), abuf
+
         closer = best_z < zbuf
         win = (zp <= best_z) & (zp < _BIG * 0.5)             # (P, T)
         n_win = jnp.maximum(jnp.sum(win.astype(jnp.float32), axis=1,
@@ -93,15 +122,20 @@ def _raster_kernel(face_data_ref, px_ref, py_ref, depth_ref, attr_ref,
         return zbuf, abuf
 
     zbuf0 = jnp.full((P, 1), _BIG, jnp.float32)
-    abuf0 = jnp.zeros((P, 3), jnp.float32)
+    abuf0 = jnp.zeros((P, 3 if with_attrs else 1), jnp.float32)
     zbuf, abuf = jax.lax.fori_loop(0, n_tiles, body, (zbuf0, abuf0))
     hit = zbuf < _BIG * 0.5
-    depth_ref[0, :, :] = jnp.where(hit, zbuf, 0.0)
-    attr_ref[0, :, :] = jnp.where(hit, abuf, 0.0)
+    S = tile_p // 128
+    depth_ref[0] = jnp.where(hit, zbuf, 0.0).reshape(S, 128)
+    if with_attrs:
+        for c in range(3):
+            attr_ref[0, c] = jnp.where(hit, abuf[:, c:c + 1], 0.0
+                                       ).reshape(S, 128)
 
 
-def _pack_face_data(verts_cam, attrs, faces, K):
-    """Pre-gather per-face data, TRANSPOSED: (B, 20, F)."""
+def _pack_face_data(verts_cam, attrs, faces, K, with_attrs=True):
+    """Pre-gather per-face data, TRANSPOSED: (B, 20, F) — or (B, 11, F)
+    without the attribute rows (depth-only callers)."""
     z = verts_cam[..., 2]
     safe_z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     u = (K[:, 0, 0, None] * verts_cam[..., 0] / safe_z + K[:, 0, 2, None]
@@ -124,18 +158,19 @@ def _pack_face_data(verts_cam, attrs, faces, K):
                          1.0 / jnp.where(jnp.abs(area) < 1e-12, 1.0, area),
                          0.0)
 
-    def ga(c, idx):
-        return jnp.take_along_axis(attrs[..., c], idx, axis=1)
+    rows = [x0, y0, x1, y1, x2, y2, iz0, iz1, iz2, valid, inv_area]
+    if with_attrs:
+        def ga(c, idx):
+            return jnp.take_along_axis(attrs[..., c], idx, axis=1)
 
-    rows = [x0, y0, x1, y1, x2, y2, iz0, iz1, iz2, valid, inv_area,
-            ga(0, i0), ga(1, i0), ga(2, i0),
-            ga(0, i1), ga(1, i1), ga(2, i1),
-            ga(0, i2), ga(1, i2), ga(2, i2)]
-    return jnp.stack(rows, axis=1)               # (B, 20, F)
+        rows += [ga(0, i0), ga(1, i0), ga(2, i0),
+                 ga(0, i1), ga(1, i1), ga(2, i1),
+                 ga(0, i2), ga(1, i2), ga(2, i2)]
+    return jnp.stack(rows, axis=1)               # (B, 20|11, F)
 
 
 @partial(jax.jit, static_argnames=("height", "width", "tile_p", "tile_f",
-                                   "interpret"))
+                                   "interpret", "with_attrs"))
 def render_depth_xyz_pallas(
     verts: jax.Array,     # (B, V, 3) object-space vertices
     faces: jax.Array,     # (B, F, 3) int32
@@ -147,11 +182,19 @@ def render_depth_xyz_pallas(
     tile_p: int = 1024,
     tile_f: int = 256,
     interpret: bool = False,
+    with_attrs: bool = True,
 ):
-    """Drop-in pallas equivalent of render_depth_xyz_batch."""
+    """Drop-in pallas equivalent of render_depth_xyz_batch.
+
+    with_attrs=False renders DEPTH ONLY (the VSD / depth-refine case):
+    skips the attribute gathers, the winner-takes-all interpolation and
+    3/4 of the output traffic; the z-buffer becomes a plain running min.
+    Returns (depth, None) in that mode.
+    """
     B, V, _ = verts.shape
     verts_cam = jnp.einsum("bij,bvj->bvi", rots, verts) + transes[:, None, :]
-    fd = _pack_face_data(verts_cam, verts, faces, Ks)        # (B, 20, F)
+    fd = _pack_face_data(verts_cam, verts, faces, Ks, with_attrs)
+    n_rows = fd.shape[1]                         # 20 or 11
     F = fd.shape[-1]
     pad_f = (-F) % tile_f
     if pad_f:
@@ -159,40 +202,34 @@ def render_depth_xyz_pallas(
     Fp = fd.shape[-1]
 
     P = height * width
-    px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.float32)[None, :],
-                          (height, width)).reshape(-1)
-    py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.float32)[:, None],
-                          (height, width)).reshape(-1)
-    pad_p = (-P) % tile_p
-    if pad_p:
-        px = jnp.pad(px, (0, pad_p))
-        py = jnp.pad(py, (0, pad_p))
-    Pp = px.shape[0]
+    Pp = P + ((-P) % tile_p)
     n_ptiles = Pp // tile_p
-    px = jnp.broadcast_to(px.reshape(1, Pp, 1), (B, Pp, 1))
-    py = jnp.broadcast_to(py.reshape(1, Pp, 1), (B, Pp, 1))
+    S = tile_p // 128
 
-    depth, attr = pl.pallas_call(
-        partial(_raster_kernel, n_faces=Fp, tile_f=tile_f),
-        out_shape=(jax.ShapeDtypeStruct((B, Pp, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((B, Pp, 3), jnp.float32)),
+    out_shape = [jax.ShapeDtypeStruct((B, Pp // 128, 128), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, S, 128), lambda b, p: (b, p, 0),
+                              memory_space=pltpu.VMEM)]
+    if with_attrs:
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, 3, Pp // 128, 128), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 3, S, 128), lambda b, p: (b, 0, p, 0),
+                         memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        partial(_raster_kernel, n_faces=Fp, tile_f=tile_f, tile_p=tile_p,
+                width=width, with_attrs=with_attrs),
+        out_shape=tuple(out_shape),
         grid=(B, n_ptiles),
         in_specs=[
-            pl.BlockSpec((1, _COLS, Fp), lambda b, p: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_p, 1), lambda b, p: (b, p, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_p, 1), lambda b, p: (b, p, 0),
+            pl.BlockSpec((1, n_rows, Fp), lambda b, p: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, tile_p, 1), lambda b, p: (b, p, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_p, 3), lambda b, p: (b, p, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(out_specs),
         interpret=interpret,
-    )(fd, px, py)
-    depth = depth[:, :P, 0].reshape(B, height, width)
-    attr = attr[:, :P].reshape(B, height, width, 3)
-    return depth, attr
+    )(fd)
+    depth = outs[0].reshape(B, Pp)[:, :P].reshape(B, height, width)
+    if not with_attrs:
+        return depth, None
+    attr = jnp.moveaxis(outs[1].reshape(B, 3, Pp)[:, :, :P], 1, -1)
+    return depth, attr.reshape(B, height, width, 3)

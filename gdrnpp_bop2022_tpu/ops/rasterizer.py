@@ -184,43 +184,28 @@ def render_depth_xyz_batch(
     return jax.vmap(one)(verts, faces, rots, transes, Ks)
 
 
-def pallas_pad_w(height: int, width: int) -> int:
-    """Smallest pad_w >= 0 with (H * (W + pad_w)) % 1024 == 0 — the width
-    padding that puts an arbitrary image shape on the Pallas kernel's
-    1024-pixel tiling (exists below 1024/gcd(H, 1024)). Returns -1 when the
-    needed padding exceeds the +25% column overhead cap (then the XLA
-    fallback is the better program)."""
-    for pad_w in range(0, 1024):
-        if (height * (width + pad_w)) % 1024 == 0:
-            return pad_w if pad_w <= max(width // 4, 64) else -1
-    return -1
-
-
-def render_depth_xyz(verts, faces, rots, transes, Ks, height, width):
-    """Backend dispatcher: the Pallas kernel on TPU (measured 18% faster,
+def render_depth_xyz(verts, faces, rots, transes, Ks, height, width,
+                     need_xyz=True):
+    """Backend dispatcher: the Pallas kernel on TPU (measured faster,
     bit-exact — ops/pallas_raster.py), the XLA scan elsewhere (CPU tests,
     interpret-unfriendly shapes).
 
-    The Pallas kernel tiles the flattened pixel array in 1024-blocks, so it
-    needs H*W % 1024 == 0. Shapes that miss (T-LESS 540x720 = 388800) are
-    rendered a few columns WIDER (same K — extra columns are just extra
-    pixels right of the image) and cropped back: exact, and it keeps the
-    full-image vsd / depth-refine paths on the fast kernel instead of the
-    lax.map'd XLA fallback."""
+    The Pallas kernel tiles the flattened pixel array internally and pads
+    the tail tile (pixel coords are rebuilt in-kernel from the flat index),
+    so ANY image shape runs on it directly — the historical H*W % 1024
+    width-padding dispatch is gone.
+
+    need_xyz=False (VSD / depth-refine: depth is all they read) returns
+    (depth, None) and runs the depth-only kernel — no attribute gathers,
+    interpolation, or attr output traffic. On the XLA path the unused
+    attrs are dead code the compiler already eliminates."""
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
     if on_tpu:
-        pad_w = pallas_pad_w(height, width)
-        if pad_w == 0:
-            from .pallas_raster import render_depth_xyz_pallas
-            return render_depth_xyz_pallas(verts, faces, rots, transes, Ks,
-                                           height, width)
-        if pad_w > 0:
-            from .pallas_raster import render_depth_xyz_pallas
-            d, x = render_depth_xyz_pallas(verts, faces, rots, transes, Ks,
-                                           height, width + pad_w)
-            return d[..., :width], x[..., :width, :]
+        from .pallas_raster import render_depth_xyz_pallas
+        return render_depth_xyz_pallas(verts, faces, rots, transes, Ks,
+                                       height, width, with_attrs=need_xyz)
     return render_depth_xyz_batch(verts, faces, rots, transes, Ks,
                                   height, width)

@@ -45,3 +45,47 @@ def test_pallas_raster_matches_xla():
     hit = d_ref > 0
     np.testing.assert_allclose(d_pl[hit], d_ref[hit], atol=1e-5)
     np.testing.assert_allclose(x_pl[hit], x_ref[hit], atol=1e-4)
+
+
+def test_pallas_raster_ragged_pixels_matches_xla():
+    """P = H*W NOT a multiple of tile_p (T-LESS-like ragged shape) + a
+    face count that needs tile_f padding: the kernel pads the tail pixel
+    tile internally (in-kernel iota coords) and slices it off outside."""
+    rs = np.random.RandomState(7)
+    B = 2
+    verts, faces, Q, t, K = _cubes(B, rs)
+    H, W = 54, 72                                # 3888 px, % 1024 != 0
+    K = np.tile(np.array([[450.0, 0, 36.0], [0, 450.0, 27.0], [0, 0, 1]],
+                         np.float32), (B, 1, 1))
+    d_ref, x_ref = render_depth_xyz_batch(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(Q),
+        jnp.asarray(t), jnp.asarray(K), H, W)
+    d_pl, x_pl = render_depth_xyz_pallas(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(Q),
+        jnp.asarray(t), jnp.asarray(K), H, W,
+        tile_p=1024, tile_f=128, interpret=True)
+    d_ref, d_pl = np.asarray(d_ref), np.asarray(d_pl)
+    x_ref, x_pl = np.asarray(x_ref), np.asarray(x_pl)
+    np.testing.assert_array_equal(d_pl > 0, d_ref > 0)
+    hit = d_ref > 0
+    np.testing.assert_allclose(d_pl[hit], d_ref[hit], atol=1e-5)
+    np.testing.assert_allclose(x_pl[hit], x_ref[hit], atol=1e-4)
+
+
+def test_pallas_raster_depth_only_matches_full():
+    """with_attrs=False (VSD / depth-refine fast path): depth equals the
+    full kernel's bit-for-bit; the attrs slot is None."""
+    rs = np.random.RandomState(11)
+    B = 2
+    verts, faces, Q, t, K = _cubes(B, rs)
+    R = 64
+    d_full, x_full = render_depth_xyz_pallas(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(Q),
+        jnp.asarray(t), jnp.asarray(K), R, R,
+        tile_p=1024, tile_f=128, interpret=True)
+    d_only, x_none = render_depth_xyz_pallas(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(Q),
+        jnp.asarray(t), jnp.asarray(K), R, R,
+        tile_p=1024, tile_f=128, interpret=True, with_attrs=False)
+    assert x_none is None
+    np.testing.assert_array_equal(np.asarray(d_only), np.asarray(d_full))

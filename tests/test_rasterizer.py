@@ -103,16 +103,25 @@ def test_pixel_chunked_matches_single_block():
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
 
 
-def test_pallas_pad_w_dispatch_math():
-    """Width padding that puts arbitrary image shapes on the Pallas
-    kernel's 1024-px tiling (render_depth_xyz dispatcher)."""
-    from gdrnpp_bop2022_tpu.ops.rasterizer import pallas_pad_w
-    # BOP test-image shapes: (H, W) -> expected behavior
-    assert pallas_pad_w(480, 640) == 0          # 307200 % 1024 == 0
-    pw = pallas_pad_w(540, 720)                 # T-LESS: 540x720
-    assert pw > 0 and (540 * (720 + pw)) % 1024 == 0
-    assert pw == 48                             # 540*768 = 414720 = 405*1024
-    pw2 = pallas_pad_w(1544, 2064)              # ITODD GT camera
-    assert pw2 >= 0 and (pw2 == -1 or (1544 * (2064 + pw2)) % 1024 == 0)
-    # a pathological shape where padding would cost >25%: falls back
-    assert pallas_pad_w(1, 100) == -1           # needs +924 columns
+def test_render_depth_xyz_dispatch_cpu_fallback():
+    """render_depth_xyz uses the XLA scan off-TPU for ANY shape (the
+    Pallas kernel now handles arbitrary H*W internally on TPU, so there
+    is no width-padding dispatch left to test — parity for ragged pixel
+    counts lives in tests/test_pallas_raster.py)."""
+    import numpy as np
+    from gdrnpp_bop2022_tpu.ops.rasterizer import (render_depth_xyz,
+                                                   render_depth_xyz_batch)
+    rs = np.random.RandomState(3)
+    verts = rs.uniform(-0.03, 0.03, (1, 8, 3)).astype(np.float32)
+    faces = rs.randint(0, 8, (1, 6, 3)).astype(np.int32)
+    R = np.eye(3, dtype=np.float32)[None]
+    t = np.array([[0.0, 0.0, 0.5]], np.float32)
+    K = np.array([[[200.0, 0, 25], [0, 200.0, 22], [0, 0, 1]]], np.float32)
+    d1, a1 = render_depth_xyz(jnp.asarray(verts), jnp.asarray(faces),
+                              jnp.asarray(R), jnp.asarray(t),
+                              jnp.asarray(K), 45, 50)
+    d2, a2 = render_depth_xyz_batch(jnp.asarray(verts), jnp.asarray(faces),
+                                    jnp.asarray(R), jnp.asarray(t),
+                                    jnp.asarray(K), 45, 50)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
