@@ -41,7 +41,8 @@ import jax.numpy as jnp
 
 from .pose_error import (add_batch, adi_batch, re_batch, te_batch, proj_batch,
                          mssd_batch, mspd_batch)
-from .vsd import vsd_batch, vsd_batch_full, window_fits
+from .vsd import (vsd_batch, vsd_batch_bbox, vsd_batch_full, vsd_bbox_plan,
+                  window_fits)
 
 MSSD_THS = np.arange(0.05, 0.51, 0.05)
 MSPD_THS = np.arange(5, 51, 5)
@@ -51,10 +52,13 @@ VSD_THS = np.arange(0.05, 0.51, 0.05)
 _PAIR_CHUNK = 2048       # pose-pairs per device call (cheap error types)
 _VSD_WIN_CHUNK = 256     # pairs per windowed-vsd render call (128^2 crops
                          # are tiny; bigger chunks amortize dispatch RTT)
-_VSD_FULL_CHUNK = 16     # pairs per full-image-vsd render call (chunk 32
-                         # OOMs the 16 GB chip at 640x480 — the per-tau
-                         # cost maps and both rendered attr maps are live
-                         # per pair; measured r4)
+_VSD_FULL_CHUNK = 16     # pairs per full-image-vsd render call. No longer
+                         # memory-bound (the depth-only rasterizer fixed a
+                         # 128x HBM padding blowup): measured at ITODD
+                         # scale (1280x960), 16 vs 128 is a wash (2.19 vs
+                         # 2.21 targets/s) and 64 only pays a bigger
+                         # compile — device time dominates, so keep the
+                         # small program
 
 
 def _group(results):
@@ -174,6 +178,15 @@ def _vsd_full_kernel(Re, te, Rg, tg, depth, K, label, diam,
                           diam, taus, delta)
 
 
+@jax.jit
+def _vsd_bbox_kernel(Re, te, Rg, tg, depth, offs, K, label, diam,
+                     verts_bank, faces_bank, taus, delta):
+    return vsd_batch_bbox(Re, te, Rg, tg, depth, offs, K,
+                          jnp.take(verts_bank, label, axis=0),
+                          jnp.take(faces_bank, label, axis=0),
+                          diam, taus, delta)
+
+
 def _run_chunked(kernel, arrays: Dict[str, np.ndarray], n: int, chunk: int,
                  pair_axis: int = 0, gather=None):
     """Run `kernel(**arrays)` over pair-axis chunks with edge padding to a
@@ -181,11 +194,12 @@ def _run_chunked(kernel, arrays: Dict[str, np.ndarray], n: int, chunk: int,
     carries the pair dimension (0 for (c, ...) outputs, -1 for channel-
     first outputs like aux_kernel's (5, c)).
 
-    gather: optional {name: (idx (n,), bank (U, ...))} entries gathered
-    PER CHUNK on the host — peak memory O(U + chunk * item), not
-    O(n * item). Used for the per-pair depth images in the VSD pass,
-    where materializing (n_pairs, H, W) up front would OOM the host at
-    BOP scale (tens of thousands of pairs at 540x720)."""
+    gather: optional {name: (idx (n,), bank (U, ...)) | callable(i0, c)}
+    entries gathered PER CHUNK on the host — peak memory O(U + chunk *
+    item), not O(n * item). Used for the per-pair depth images in the VSD
+    pass, where materializing (n_pairs, H, W) up front would OOM the host
+    at BOP scale (tens of thousands of pairs at 540x720). A callable entry
+    returns rows [i0, i0+c) directly (the bbox-vsd window slicer)."""
     if n == 0:
         return None
     c = _chunk_sizes(n, chunk)
@@ -208,8 +222,12 @@ def _run_chunked(kernel, arrays: Dict[str, np.ndarray], n: int, chunk: int,
     for i0 in range(0, n, c):
         sl = {k: v[i0:i0 + c] for k, v in arrays.items()}
         if gather:
-            for k, (gi, bank) in gather.items():
-                sl[k] = bank[gi[i0:i0 + c]]
+            for k, g in gather.items():
+                if callable(g):
+                    sl[k] = g(i0, c)
+                else:
+                    gi, bank = g
+                    sl[k] = bank[gi[i0:i0 + c]]
         n_i = len(next(iter(sl.values())))
         if n_i < c:
             sl = {k: np.concatenate(
@@ -291,6 +309,11 @@ def score_bop_results(
                   delta=jnp.float32(vsd_delta))
     vsd_win_kernel = partial(_vsd_win_kernel, **vsd_kw)
     vsd_full_kernel = partial(_vsd_full_kernel, **vsd_kw)
+    vsd_bbox_kernel = partial(_vsd_bbox_kernel, **vsd_kw)
+    # conservative per-class bounding-sphere radius for the bbox-vsd plan
+    # (zero-padded verts never exceed the true max norm)
+    radii_c = np.linalg.norm(
+        np.asarray(model_bank.verts, np.float64), axis=-1).max(axis=1)
 
     # --- phase 1 (host): per-target jobs + flattened pose pairs ----------
     jobs = []        # per target with >=1 est: slicing info into the pair axis
@@ -421,20 +444,63 @@ def score_bop_results(
                             P["Re"][idx], P["te"][idx], P["Rg"][idx],
                             P["tg"][idx], P_K[idx], P_diam[idx], im_h, im_w)
                     full_chunk = vsd_full_chunk or _VSD_FULL_CHUNK
-                    for kernel, sel, chunk in (
-                            (vsd_win_kernel, use_win, _VSD_WIN_CHUNK),
-                            (vsd_full_kernel, ~use_win, full_chunk)):
-                        sub = idx[sel]
-                        if not len(sub):
-                            continue
+
+                    def run_group(kernel, pos, chunk, win=None):
+                        """pos: positions into the by-shape local order."""
+                        if not len(pos):
+                            return
+                        sub = idx[pos]
                         arrs = {k: v[sub] for k, v in P.items()}
                         arrs["K"] = P_K[sub]
                         arrs["label"] = P_label[sub]
                         arrs["diam"] = P_diam[sub]
+                        if win is None:
+                            gather = {"depth": (depth_of_pair[pos],
+                                                depth_bank)}
+                        else:
+                            # bbox mode: image-grid test-depth windows,
+                            # sliced per chunk (host mem O(chunk*bh*bw))
+                            bh, bw = win
+                            arrs["offs"] = offs_all[pos]
+                            d_idx = depth_of_pair[pos]
+                            offs_g = offs_all[pos]
+
+                            def slicer(i0, c, d_idx=d_idx, offs_g=offs_g,
+                                       bh=bh, bw=bw):
+                                n_i = min(c, len(d_idx) - i0)
+                                out = np.empty((n_i, bh, bw), np.float32)
+                                for j in range(n_i):
+                                    y0, x0 = offs_g[i0 + j]
+                                    out[j] = depth_bank[
+                                        d_idx[i0 + j],
+                                        y0:y0 + bh, x0:x0 + bw]
+                                return out
+                            gather = {"depth": slicer}
                         vsd_flat[sub] = _run_chunked(
-                            kernel, arrs, len(sub), chunk,
-                            gather={"depth": (depth_of_pair[sel],
-                                              depth_bank)})
+                            kernel, arrs, len(sub), chunk, gather=gather)
+
+                    run_group(vsd_win_kernel, np.where(use_win)[0],
+                              _VSD_WIN_CHUNK)
+                    pos_exact = np.where(~use_win)[0]
+                    if len(pos_exact):
+                        # toolkit-exact pairs: smallest image-grid window
+                        # bucket per pair (vsd_batch_bbox — counts equal the
+                        # full-image render), full image only when no
+                        # bucket fits (near-camera / gross-miss pairs)
+                        sub = idx[pos_exact]
+                        bucket_i, offs_sub, buckets = vsd_bbox_plan(
+                            P["te"][sub], P["tg"][sub], P_K[sub],
+                            radii_c[P_label[sub]], im_h, im_w)
+                        offs_all = np.zeros((len(idx), 2), np.int32)
+                        offs_all[pos_exact] = offs_sub
+                        for bi, (bh, bw) in enumerate(buckets):
+                            chunk = max(8, (_VSD_WIN_CHUNK * 128 * 128)
+                                        // (bh * bw))
+                            run_group(vsd_bbox_kernel,
+                                      pos_exact[bucket_i == bi], chunk,
+                                      win=(bh, bw))
+                        run_group(vsd_full_kernel,
+                                  pos_exact[bucket_i < 0], full_chunk)
 
         # --- phase 3 (host): per-target per-threshold matching -----------
         # Fast path: when a target has a single estimate OR a single GT,

@@ -6,13 +6,24 @@ depth per instance with a GL renderer in a python loop; here both renders
 come from the batched JAX rasterizer and the whole per-tau cost matrix is
 computed in one program.
 
-Two paths:
-  * vsd_batch — rasterizes a WINDOW around the object (crop-K centered on
-    the union of projected est/gt bounds; depth_test sampled at the same
-    window). Fast; approximate when the window would clip the object.
-  * vsd_batch_full — rasterizes at the FULL test-image resolution, the
-    toolkit-exact computation (pose_error.py:22-128 renders the whole
-    image; visibility.py:9-74 uses the whole test depth).
+Three paths:
+  * vsd_batch — rasterizes a resampled WINDOW around the object (crop-K
+    centered on the union of projected est/gt bounds; depth_test sampled at
+    the same window). Fast; approximate when the window would clip the
+    object or subsample the pixel grid.
+  * vsd_batch_bbox — rasterizes the union BOUNDING BOX of the two projected
+    objects ON THE IMAGE GRID (principal point shifted by an integer pixel
+    offset — no resampling). Every pixel where either render is non-zero
+    lies inside the box (conservative bounding-sphere projection,
+    vsd_bbox_plan), and all VSD mask/count contributions vanish outside
+    that support, so the union/intersection/cost counts equal the
+    full-image computation exactly. This is the default implementation
+    behind vsd_mode="full" in the scorer: toolkit-exact numbers at
+    bbox-area cost instead of image-area cost.
+  * vsd_batch_full — rasterizes at the FULL test-image resolution
+    (pose_error.py:22-128 renders the whole image; visibility.py:9-74 uses
+    the whole test depth). Fallback for pairs whose conservative box does
+    not fit any window bucket (near-camera objects, gross-miss pairs).
 vsd_dispatch picks per batch: window when the conservative projected bounds
 fit, full otherwise.
 """
@@ -82,8 +93,10 @@ def vsd_batch(
     centers = jnp.stack([cx, cy], axis=-1)
 
     crop_Ks = centered_crop_K(Ks, centers, scale, res)
-    d_est, _ = render_depth_xyz(verts, faces, R_est, t_est, crop_Ks, res, res)
-    d_gt, _ = render_depth_xyz(verts, faces, R_gt, t_gt, crop_Ks, res, res)
+    d_est, _ = render_depth_xyz(verts, faces, R_est, t_est, crop_Ks,
+                                res, res, need_xyz=False)
+    d_gt, _ = render_depth_xyz(verts, faces, R_gt, t_gt, crop_Ks,
+                               res, res, need_xyz=False)
 
     d_test_w = roi_crop_resize(depth_test[..., None], centers, scale, res,
                                method="nearest")[..., 0]
@@ -127,8 +140,10 @@ def vsd_batch_full(
     nothing is ever clipped and pixel counts are on the image grid.
     Returns (B, T)."""
     B, H, W = depth_test.shape
-    d_est, _ = render_depth_xyz(verts, faces, R_est, t_est, Ks, H, W)
-    d_gt, _ = render_depth_xyz(verts, faces, R_gt, t_gt, Ks, H, W)
+    d_est, _ = render_depth_xyz(verts, faces, R_est, t_est, Ks, H, W,
+                                need_xyz=False)
+    d_gt, _ = render_depth_xyz(verts, faces, R_gt, t_gt, Ks, H, W,
+                               need_xyz=False)
 
     dist_test = depth_to_dist(depth_test, Ks)
     dist_est = depth_to_dist(d_est, Ks)
@@ -150,6 +165,138 @@ def vsd_batch_full(
         union_count[None], 1)
     err = jnp.where(union_count[None] == 0, 1.0, err)
     return err.T
+
+
+@jax.jit
+def vsd_batch_bbox(
+    R_est, t_est,            # (B, 3, 3), (B, 3)
+    R_gt, t_gt,              # (B, 3, 3), (B, 3)
+    depth_win,               # (B, bh, bw) test-depth WINDOWS (image-grid
+                             #   slices at offs — no resampling)
+    offs,                    # (B, 2) int32 (y0, x0) window origin in the
+                             #   full image
+    Ks,                      # (B, 3, 3) ORIGINAL camera intrinsics
+    verts, faces,            # (B, V, 3), (B, F, 3)
+    diameters,               # (B,)
+    taus,                    # (T,)
+    delta: float = 0.015,
+):
+    """Toolkit-exact BOP19 VSD evaluated on a per-pair image-grid window.
+
+    The window's pixels ARE image pixels (the principal point is shifted by
+    the integer window origin; rays, rasterization seams and the test depth
+    are those of the full image). Given a window that contains every pixel
+    where either render is non-zero (vsd_bbox_plan guarantees this via
+    conservative bounding-sphere projection), all visibility masks vanish
+    outside the window, so union/inter/cost counts — and hence the error —
+    match vsd_batch_full on the same pair up to projection rounding (the
+    shifted principal point changes u by <=1 ulp). Returns (B, T)."""
+    B, bh, bw = depth_win.shape
+    offs_f = offs.astype(jnp.float32)
+    Kw = Ks.at[:, 0, 2].add(-offs_f[:, 1]).at[:, 1, 2].add(-offs_f[:, 0])
+    d_est, _ = render_depth_xyz(verts, faces, R_est, t_est, Kw, bh, bw,
+                                need_xyz=False)
+    d_gt, _ = render_depth_xyz(verts, faces, R_gt, t_gt, Kw, bh, bw,
+                               need_xyz=False)
+
+    dist_test = depth_to_dist(depth_win, Kw)
+    dist_est = depth_to_dist(d_est, Kw)
+    dist_gt = depth_to_dist(d_gt, Kw)
+
+    visib_gt = _visib_mask_bop19(dist_test, dist_gt, delta)
+    visib_est = _visib_mask_bop19(dist_test, dist_est, delta)
+    visib_est = visib_est | (visib_gt & (dist_est > 0))
+
+    inter = visib_gt & visib_est
+    union = visib_gt | visib_est
+    union_count = jnp.sum(union, axis=(1, 2))
+    comp_count = union_count - jnp.sum(inter, axis=(1, 2))
+
+    dists = jnp.abs(dist_gt - dist_est) / diameters[:, None, None]
+    taus = jnp.asarray(taus, jnp.float32)
+    costs = (dists[None] >= taus[:, None, None, None]) & inter[None]
+    err = (jnp.sum(costs, axis=(2, 3)) + comp_count[None]) / jnp.maximum(
+        union_count[None], 1)
+    err = jnp.where(union_count[None] == 0, 1.0, err)
+    return err.T
+
+
+def _sphere_pixel_bounds(t, Ks, radii):
+    """Conservative pixel bounds of a radius-r sphere at center t under
+    perspective K. Returns (u0, u1, v0, v1, ok) — ok=False when the sphere
+    reaches the camera plane (z - r <= 0), where no finite bound exists.
+    u in [u0, u1) / v in [v0, v1) contains every projected surface pixel:
+    u = fx*x/z + cx is linear in x and monotone in z for fixed x, so its
+    extremes over the AABB {|x-tx|<=r, |y-ty|<=r, z in [tz-r, tz+r]} are at
+    corner combinations."""
+    t = np.asarray(t, np.float64)
+    Ks = np.asarray(Ks, np.float64)
+    r = np.asarray(radii, np.float64)
+    fx, fy = Ks[:, 0, 0], Ks[:, 1, 1]
+    cx, cy = Ks[:, 0, 2], Ks[:, 1, 2]
+    z_lo = t[:, 2] - r
+    ok = z_lo > 1e-6
+    z_lo_s = np.maximum(z_lo, 1e-6)
+    z_hi = t[:, 2] + r
+
+    def ext(f, c, tc):
+        lo = np.full(len(t), np.inf)
+        hi = np.full(len(t), -np.inf)
+        for xc in (tc - r, tc + r):
+            for zc in (z_lo_s, z_hi):
+                u = f * xc / zc + c
+                lo = np.minimum(lo, u)
+                hi = np.maximum(hi, u)
+        return lo, hi
+
+    u0, u1 = ext(fx, cx, t[:, 0])
+    v0, v1 = ext(fy, cy, t[:, 1])
+    return u0, u1, v0, v1, ok
+
+
+def vsd_bbox_plan(t_est, t_gt, Ks, radii, im_h: int, im_w: int,
+                  sizes=(128, 256, 512)):
+    """Host-side plan for vsd_batch_bbox: per pair, the smallest window
+    bucket containing the union of the two conservative sphere-projection
+    boxes (clipped to the image), and the window origin.
+
+    Returns (bucket (B,) int32 index into the returned bucket list, -1 =
+    no bucket fits (use vsd_batch_full); offs (B, 2) int32 (y0, x0);
+    buckets: list of (bh, bw) with bh<=im_h, bw<=im_w)."""
+    buckets = []
+    for s in sizes:
+        b = (min(s, im_h), min(s, im_w))
+        if b not in buckets and (b[0] < im_h or b[1] < im_w):
+            buckets.append(b)
+
+    ue0, ue1, ve0, ve1, oke = _sphere_pixel_bounds(t_est, Ks, radii)
+    ug0, ug1, vg0, vg1, okg = _sphere_pixel_bounds(t_gt, Ks, radii)
+    # union box, expanded 1px against rounding, clipped to the image
+    u0 = np.clip(np.floor(np.minimum(ue0, ug0)) - 1, 0, im_w)
+    v0 = np.clip(np.floor(np.minimum(ve0, vg0)) - 1, 0, im_h)
+    u1 = np.clip(np.ceil(np.maximum(ue1, ug1)) + 2, 0, im_w)
+    v1 = np.clip(np.ceil(np.maximum(ve1, vg1)) + 2, 0, im_h)
+    need_w = np.maximum(u1 - u0, 1).astype(np.int64)
+    need_h = np.maximum(v1 - v0, 1).astype(np.int64)
+    ok = oke & okg
+
+    B = len(need_w)
+    bucket = np.full(B, -1, np.int32)
+    offs = np.zeros((B, 2), np.int32)
+    for bi in reversed(range(len(buckets))):
+        bh, bw = buckets[bi]
+        fits = ok & (need_h <= bh) & (need_w <= bw)
+        bucket[fits] = bi
+    for bi, (bh, bw) in enumerate(buckets):
+        m = bucket == bi
+        if not m.any():
+            continue
+        # center the slack, clamp inside the image
+        y0 = np.clip(v0[m] - (bh - need_h[m]) // 2, 0, im_h - bh)
+        x0 = np.clip(u0[m] - (bw - need_w[m]) // 2, 0, im_w - bw)
+        offs[m, 0] = y0
+        offs[m, 1] = x0
+    return bucket, offs, buckets
 
 
 def window_fits(R_est, t_est, R_gt, t_gt, Ks, diameters,

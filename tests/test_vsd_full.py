@@ -119,6 +119,102 @@ def test_window_close_to_full_when_fits():
     assert float(np.max(diffs)) < 0.12, diffs
 
 
+def test_bbox_vsd_matches_full():
+    """vsd_batch_bbox on vsd_bbox_plan windows == vsd_batch_full, on a
+    large image where the bbox path actually pays off: in-frame pairs,
+    a partially-out-of-frame object, and a gross-miss pair whose union
+    box still fits one bucket."""
+    from gdrnpp_bop2022_tpu.eval.vsd import vsd_batch_bbox, vsd_bbox_plan
+
+    H2, W2 = 240, 320
+    K2 = np.array([[300.0, 0, 160.0], [0, 300.0, 120.0], [0, 0, 1]],
+                  np.float32)
+    verts, faces = _cube()
+    diam = float(np.linalg.norm(verts.max(0) - verts.min(0)))
+    radius = float(np.linalg.norm(verts, axis=-1).max())
+
+    def render(R, t):
+        d, _ = render_depth_xyz(
+            jnp.asarray(verts)[None], jnp.asarray(faces)[None],
+            jnp.asarray(R)[None], jnp.asarray(t)[None],
+            jnp.asarray(K2)[None], H2, W2)
+        return np.array(d[0])
+
+    rs = np.random.RandomState(5)
+    cases = []
+    # in-frame pairs
+    for _ in range(3):
+        R_gt = np.eye(3, dtype=np.float32)
+        t_gt = np.array([rs.uniform(-0.08, 0.08), rs.uniform(-0.05, 0.05),
+                         rs.uniform(0.4, 0.7)], np.float32)
+        t_est = t_gt + rs.randn(3).astype(np.float32) * 0.01
+        cases.append((R_gt, t_est, R_gt, t_gt))
+    # partially out of frame (left edge)
+    t_gt = np.array([-0.16, 0.0, 0.3], np.float32)
+    cases.append((np.eye(3, dtype=np.float32),
+                  t_gt + np.array([0.005, 0, 0], np.float32),
+                  np.eye(3, dtype=np.float32), t_gt))
+    # moderate miss: separated but same bucket
+    t_gt = np.array([0.0, 0.0, 0.5], np.float32)
+    cases.append((np.eye(3, dtype=np.float32),
+                  t_gt + np.array([0.06, 0.02, 0], np.float32),
+                  np.eye(3, dtype=np.float32), t_gt))
+
+    B = len(cases)
+    Re = np.stack([c[0] for c in cases])
+    te = np.stack([c[1] for c in cases])
+    Rg = np.stack([c[2] for c in cases])
+    tg = np.stack([c[3] for c in cases])
+    d_test = np.stack([render(Rg[i], tg[i]) for i in range(B)])
+    d_test[:, :, 140:170] = np.where(d_test[:, :, 140:170] > 0, 0.25, 0.0)
+    Ks = np.tile(K2, (B, 1, 1))
+    vb = jnp.asarray(np.tile(verts[None], (B, 1, 1)))
+    fb = jnp.asarray(np.tile(faces[None], (B, 1, 1)))
+    diams = jnp.asarray(np.full(B, diam, np.float32))
+
+    full = np.asarray(vsd_batch_full(
+        jnp.asarray(Re), jnp.asarray(te), jnp.asarray(Rg), jnp.asarray(tg),
+        jnp.asarray(d_test), jnp.asarray(Ks), vb, fb, diams,
+        jnp.asarray(TAUS), 0.015))
+
+    bucket, offs, buckets = vsd_bbox_plan(
+        te, tg, Ks, np.full(B, radius), H2, W2)
+    assert len(buckets) >= 1
+    assert (bucket >= 0).all(), (bucket, "every case should fit a bucket")
+    for bi, (bh, bw) in enumerate(buckets):
+        m = bucket == bi
+        if not m.any():
+            continue
+        wins = np.stack([
+            d_test[i, offs[i, 0]:offs[i, 0] + bh,
+                   offs[i, 1]:offs[i, 1] + bw]
+            for i in np.where(m)[0]])
+        got = np.asarray(vsd_batch_bbox(
+            jnp.asarray(Re[m]), jnp.asarray(te[m]),
+            jnp.asarray(Rg[m]), jnp.asarray(tg[m]),
+            jnp.asarray(wins), jnp.asarray(offs[m]), jnp.asarray(Ks[m]),
+            jnp.asarray(np.tile(verts[None], (int(m.sum()), 1, 1))),
+            jnp.asarray(np.tile(faces[None], (int(m.sum()), 1, 1))),
+            jnp.asarray(np.full(int(m.sum()), diam, np.float32)),
+            jnp.asarray(TAUS), 0.015))
+        # exact up to projection rounding (<=1 ulp principal-point shift
+        # can flip a knife-edge seam pixel)
+        np.testing.assert_allclose(got, full[m], atol=5e-3)
+
+
+def test_bbox_plan_falls_back_when_unbounded():
+    """Sphere reaching the camera plane (z - r <= 0) has no finite
+    projected bound: the plan must send the pair to the full path."""
+    from gdrnpp_bop2022_tpu.eval.vsd import vsd_bbox_plan
+    te = np.array([[0.0, 0.0, 0.04]], np.float32)   # closer than radius
+    tg = np.array([[0.0, 0.0, 0.5]], np.float32)
+    Ks = np.array([[[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]]],
+                  np.float32)
+    bucket, offs, buckets = vsd_bbox_plan(te, tg, Ks, np.array([0.06]),
+                                          240, 320)
+    assert bucket[0] == -1
+
+
 def test_dispatch_falls_back_when_window_clips():
     """est translated far from gt -> separation blows past the window
     budget; dispatch must return the FULL-path result."""

@@ -109,6 +109,9 @@ def main():
     ap.add_argument("--no-vsd", action="store_true")
     ap.add_argument("--scale", type=float, default=1.0,
                     help="shrink factor on image count for quick runs")
+    ap.add_argument("--vsd-full-chunk", type=int, default=None,
+                    help="pairs per full-image vsd call (default: scorer's"
+                         " _VSD_FULL_CHUNK)")
     args = ap.parse_args()
 
     import jax
@@ -139,7 +142,7 @@ def main():
         scores = score_bop_results(
             results, gts, bank, targets=targets, im_width=im_w,
             depth_test_getter=getter, vsd_mode=args.vsd_mode,
-            vsd_delta=vsd_delta)
+            vsd_delta=vsd_delta, vsd_full_chunk=args.vsd_full_chunk)
         dt = time.perf_counter() - t0
         print(json.dumps({
             "metric": "scorer_wallclock", "dataset": name,
@@ -148,6 +151,7 @@ def main():
             "platform": jax.devices()[0].platform,
             "value": round(dt, 2), "unit": "s",
             "targets_per_sec": round(len(targets) / dt, 2),
+            "vsd_full_chunk": args.vsd_full_chunk,
             "AR": round(scores.get("AR", float("nan")), 4),
         }), flush=True)
 
