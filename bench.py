@@ -146,8 +146,33 @@ def main():
     import gc
     gc.collect()
     jax.clear_caches()
+    _section("gdrn_train", gdrn_train_bench, out)
+    gc.collect()
+    jax.clear_caches()
     _section("yolox", yolox_bench, out)
     _emit(out)
+
+
+def gdrn_train_bench():
+    """Flagship GDRN train step (fwd+bwd+Ranger+EMA, sym PM loss) at the
+    production batch size, with cost-analysis MFU — the number behind the
+    "hours per 40-epoch YCB-V" claim (reference iteration:
+    core/gdrn_modeling/engine/engine.py:284-343). Reuses tools/bench_train's
+    measured path so bench.py and the standalone tool cannot drift."""
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    import bench_train
+    r = bench_train.bench_bs(48, remat=False, num_points=512, syms=1)
+    out = {
+        "gdrn_train_ms_per_iter": r["ms_per_iter"],
+        "gdrn_train_bs": r["batch_size"],
+        "gdrn_train_rois_per_sec": r["rois_per_sec"],
+    }
+    for k in ("tflops_per_sec", "mfu", "gflops_per_roi"):
+        if k in r:
+            out[f"gdrn_train_{k}"] = r[k]
+    return out
 
 
 def gdrn_core_bench():
